@@ -1,0 +1,424 @@
+"""Interpolation / resampling kernels.
+
+1D shift kernels (bilinear, cubic splines, Lanczos, quintic), separable 2D
+kernels, image projection helpers, WCS geometry helpers, and band-limited
+sinc resampling.  The sinc resampler is expressed as dense matrix products
+(``jnp.dot``), which map straight onto the TPU MXU.
+
+Behavioral reference: scarlet/interpolation.py (file:line cited per function).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import fft as fft_ops
+
+__all__ = [
+    "get_filter_coords",
+    "get_filter_bounds",
+    "get_projection_slices",
+    "project_image",
+    "common_projections",
+    "bilinear",
+    "cubic_spline",
+    "catmull_rom",
+    "mitchel_netravali",
+    "lanczos",
+    "quintic_spline",
+    "get_separable_kernel",
+    "mk_shifter",
+    "get_affine",
+    "get_pixel_size",
+    "get_angles",
+    "sinc_interp",
+    "sinc_interp_inplace",
+    "get_common_padding",
+    "subsample_function",
+    "apply_2D_trapezoid_rule",
+    "get_psf_size",
+]
+
+mk_shifter = fft_ops.mk_shifter
+
+
+# ---------------------------------------------------------------------------
+# Real-space filter geometry (used by the real-space convolution path)
+# ---------------------------------------------------------------------------
+def get_filter_coords(filter_values, center=None):
+    """(y, x) offsets of each filter pixel relative to its center.
+
+    Ref: scarlet/interpolation.py:7-41.
+    """
+    filter_values = np.asarray(filter_values)
+    if filter_values.ndim != 2:
+        raise ValueError("`filter_values` must be 2D")
+    if center is None:
+        if filter_values.shape[0] % 2 == 0 or filter_values.shape[1] % 2 == 0:
+            raise ValueError(
+                "Ambiguous center of even-shaped `filter_values`; pass `center`."
+            )
+        center = [filter_values.shape[0] // 2, filter_values.shape[1] // 2]
+    x = np.arange(filter_values.shape[1])
+    y = np.arange(filter_values.shape[0])
+    x, y = np.meshgrid(x, y)
+    x -= center[1]
+    y -= center[0]
+    return np.dstack([y, x])
+
+
+def get_filter_bounds(coords):
+    """Start/end clip amounts per filter tap for shifted-block convolution.
+
+    Ref: scarlet/interpolation.py:44-65.
+    """
+    z = np.zeros((len(coords),), dtype=int)
+    y_start = np.max([z, coords[:, 0]], axis=0)
+    y_end = -np.min([z, coords[:, 0]], axis=0)
+    x_start = np.max([z, coords[:, 1]], axis=0)
+    x_end = -np.min([z, coords[:, 1]], axis=0)
+    return y_start, y_end, x_start, x_end
+
+
+# ---------------------------------------------------------------------------
+# Centered projections
+# ---------------------------------------------------------------------------
+def get_projection_slices(image, shape, yx0=None):
+    """Slices to place ``image`` (centered) into a frame of ``shape``.
+
+    Ref: scarlet/interpolation.py:68-116.
+    """
+    Ny, Nx = shape
+    iNy, iNx = image.shape
+    if yx0 is None:
+        yx0 = (-(iNy // 2), -(iNx // 2))
+    bottom, left = yx0
+    bottom += Ny >> 1
+    left += Nx >> 1
+
+    top = bottom + iNy
+    yslice = slice(max(0, bottom), min(Ny, top))
+    iyslice = slice(max(0, -bottom), max(Ny - bottom, -top))
+
+    right = left + iNx
+    xslice = slice(max(0, left), min(Nx, right))
+    ixslice = slice(max(0, -left), max(Nx - left, -right))
+    return (yslice, xslice), (iyslice, ixslice), (bottom, top, left, right)
+
+
+def project_image(image, shape, yx0=None):
+    """Center ``image`` in a zero frame of ``shape`` (pads or trims).
+
+    Ref: scarlet/interpolation.py:119-146.
+    """
+    bb, ibb, _ = get_projection_slices(image, shape, yx0)
+    result = jnp.zeros(shape, dtype=image.dtype)
+    return result.at[bb].set(image[ibb])
+
+
+def common_projections(img1, img2):
+    """Project two centered images onto their common (max) shape.
+
+    Ref: scarlet/interpolation.py:149-173.
+    """
+    h1, w1 = img1.shape
+    h2, w2 = img2.shape
+    shape = (max(h1, h2), max(w1, w2))
+    return project_image(img1, shape), project_image(img2, shape)
+
+
+# ---------------------------------------------------------------------------
+# 1D interpolation kernels (host-side: scalar fractional shifts)
+# ---------------------------------------------------------------------------
+def bilinear(dx):
+    """2-tap linear kernel for fractional shift ``dx``.
+
+    Ref: scarlet/interpolation.py:176-202.
+    """
+    if np.abs(dx) > 1:
+        raise ValueError("The fractional shift dx must be between -1 and 1")
+    if dx >= 0:
+        window = np.arange(2)
+        y = np.array([1 - dx, dx])
+    else:
+        window = np.array([-1, 0])
+        y = np.array([-dx, 1 + dx])
+    return y, window
+
+
+def cubic_spline(dx, a=1, b=0):
+    """4-tap cubic spline kernel (Keys family). Ref: interpolation.py:205-250."""
+    if np.abs(dx) > 1:
+        raise ValueError("The fractional shift dx must be between -1 and 1")
+
+    def inner(x):
+        third = (-6 * a - 9 * b + 12) * x ** 3
+        second = (6 * a + 12 * b - 18) * x ** 2
+        zero = -2 * b + 6
+        return (zero + second + third) / 6
+
+    def outer(x):
+        third = (-6 * a - b) * x ** 3
+        second = (30 * a + 6 * b) * x ** 2
+        first = (-48 * a - 12 * b) * x
+        zero = 24 * a + 8 * b
+        return (zero + first + second + third) / 6
+
+    window = np.arange(-1, 3) + np.floor(dx)
+    x = np.abs(dx - window)
+    result = np.piecewise(x, [x <= 1, (x > 1) & (x < 2)], [inner, outer])
+    return result, window.astype(int)
+
+
+def catmull_rom(dx):
+    """Cubic spline with a=0.5, b=0. Ref: interpolation.py:253-258."""
+    return cubic_spline(dx, a=0.5, b=0)
+
+
+def mitchel_netravali(dx):
+    """Cubic spline with a=b=1/3. Ref: interpolation.py:261-267."""
+    ab = 1 / 3
+    return cubic_spline(dx, a=ab, b=ab)
+
+
+def lanczos(dx, a=3):
+    """2a-tap Lanczos kernel. Ref: interpolation.py:270-289."""
+    if np.abs(dx) > 1:
+        raise ValueError("The fractional shift dx must be between -1 and 1")
+    window = np.arange(-a + 1, a + 1) + np.floor(dx)
+    y = np.sinc(dx - window) * np.sinc((dx - window) / a)
+    return y, window.astype(int)
+
+
+def quintic_spline(dx, dtype=np.float64):
+    """7-tap quintic spline kernel. Ref: interpolation.py:292-309."""
+
+    def inner(x):
+        return 1 + x ** 3 / 12 * (-95 + 138 * x - 55 * x ** 2)
+
+    def middle(x):
+        return (x - 1) * (x - 2) / 24 * (-138 + 348 * x - 249 * x ** 2 + 55 * x ** 3)
+
+    def outer(x):
+        return (x - 2) * (x - 3) ** 2 / 24 * (-54 + 50 * x - 11 * x ** 2)
+
+    window = np.arange(-3, 4)
+    x = np.abs(dx - window)
+    result = np.piecewise(
+        x, [x <= 1, (x > 1) & (x <= 2), (x > 2) & (x <= 3)], [inner, middle, outer]
+    )
+    return result, window
+
+
+def get_separable_kernel(dy, dx, kernel=lanczos, **kwargs):
+    """Outer product of two 1D kernels. Ref: interpolation.py:312-338."""
+    kx, x_window = kernel(dx, **kwargs)
+    ky, y_window = kernel(dy, **kwargs)
+    kyx = np.outer(ky, kx)
+    return kyx, y_window, x_window
+
+
+# ---------------------------------------------------------------------------
+# WCS geometry helpers (host-side, astropy WCS)
+# ---------------------------------------------------------------------------
+def get_affine(wcs):
+    """Affine (PC/CD) matrix of a WCS. Ref: interpolation.py:378-384."""
+    try:
+        return wcs.wcs.pc
+    except AttributeError:
+        return wcs.cd
+
+
+def get_pixel_size(model_affine):
+    """Geometric pixel scale from an affine matrix. Ref: interpolation.py:387-394."""
+    return np.sqrt(
+        np.abs(model_affine[0, 0])
+        * np.abs(model_affine[1, 1] - model_affine[0, 1] * model_affine[1, 0])
+    )
+
+
+def get_angles(frame_wcs, model_wcs):
+    """([cos, sin], pixel-ratio) rotation between two WCS grids.
+
+    Ref: interpolation.py:397-424.
+    """
+    model_affine = get_affine(model_wcs)
+    frame_affine = get_affine(frame_wcs)
+    model_pix = get_pixel_size(model_affine)
+    frame_pix = get_pixel_size(frame_affine)
+    h = frame_pix / model_pix
+    self_framevector = np.sum(frame_affine, axis=0)[:2] / frame_pix
+    model_framevector = np.sum(model_affine, axis=0)[:2] / model_pix
+    self_framevector /= np.sum(self_framevector ** 2) ** 0.5
+    model_framevector /= np.sum(model_framevector ** 2) ** 0.5
+    sin_rot = np.cross(self_framevector, model_framevector)
+    cos_rot = np.dot(self_framevector, model_framevector)
+    return [cos_rot, sin_rot], h
+
+
+# ---------------------------------------------------------------------------
+# Band-limited (sinc) resampling — dense matmuls, MXU-shaped
+# ---------------------------------------------------------------------------
+def sinc_interp(images, coord_hr, coord_lr, angle=None, padding=3):
+    """Sinc-resample ``images`` sampled at ``coord_lr`` onto ``coord_hr``.
+
+    For aligned grids this is two dense sinc-matrix products per band; for
+    rotated grids it applies per-row Fourier shifts followed by sinc matmuls.
+    Ref: scarlet/interpolation.py:427-502.
+    """
+    y_hr, x_hr = coord_hr
+    y_lr, x_lr = coord_lr
+    hy = np.abs(float(y_lr[1] - y_lr[0]))
+    hx = np.abs(float(x_lr[1] - x_lr[0]))
+    assert hy != 0 and hx != 0
+
+    if angle is None or (1 - angle[0] < np.finfo(float).eps):
+        ky = jnp.sinc((jnp.asarray(y_lr)[None, :] - jnp.asarray(y_hr)[:, None]) / hy)
+        kx = jnp.sinc((jnp.asarray(x_lr)[:, None] - jnp.asarray(x_hr)[None, :]) / hx)
+        images = jnp.asarray(images)
+        # (Nyhr, Nylr) @ (Nylr, Nxlr) @ (Nxlr, Nxhr) per band
+        return jnp.einsum(
+            "ij,bjk,kl->bil", ky, jnp.swapaxes(images, -2, -1), kx,
+            preferred_element_type=images.dtype,
+        )
+
+    cos, sin = angle
+    images = jnp.asarray(images)
+    fft_shape = fft_ops.good_fft_shape(images, images, padding=padding, axes=[1, 2])
+    X_fft = fft_ops.transform(images, fft_shape, (-2, -1))
+
+    shifter_y, shifter_x = mk_shifter(fft_shape)
+    y_hr_arr = jnp.asarray(y_hr)
+    shift_y = jnp.exp(shifter_y[None, :] * (-(y_hr_arr[:, None]) * cos))
+    shift_x = jnp.exp(shifter_x[None, :] * (-(y_hr_arr[:, None]) * sin))
+
+    result_fft = X_fft[:, None, :, :] * shift_y[None, :, :, None]
+    result_fft = result_fft * shift_x[None, :, None, :]
+
+    result_shape = (
+        result_fft.shape[0],
+        result_fft.shape[1],
+        images.shape[1],
+        images.shape[2],
+    )
+    shifted = fft_ops.inverse_transform(result_fft, fft_shape, result_shape, (2, 3))
+
+    shy = jnp.sinc((jnp.asarray(y_lr)[None, :] + jnp.asarray(x_hr)[:, None] * sin) / hy)
+    shx = jnp.sinc((jnp.asarray(x_lr)[None, :] - jnp.asarray(x_hr)[:, None] * cos) / hx)
+
+    result_y = (shifted[:, :, None, :, :] * shy[None, None, :, :, None]).sum(axis=-2)
+    result = (result_y * shx[None, None, :, :]).sum(axis=-1)
+    return result
+
+
+def sinc_interp_inplace(image, h_image, h_target, angle, pad_shape=None):
+    """Sinc-resample a (B, Ny, Nx) cube onto a grid with pixel scale
+    ``h_target`` (optionally rotated).  Ref: interpolation.py:505-560.
+    """
+    assert image.ndim == 3, "images should be provided as a (B, Ny, Nx) cube"
+    image = jnp.asarray(image)
+    if pad_shape is not None:
+        image = fft_ops.zero_pad(image, pad_shape, axes=[-2, -1])
+
+    ny_lr, nx_lr = image.shape[-2:]
+    coord_lr = np.array(
+        [
+            np.arange(ny_lr) - (ny_lr - 1) / 2,
+            np.arange(nx_lr) - (nx_lr - 1) / 2,
+        ]
+    )
+    ny_hr = int(np.round(image.shape[-2] * h_image / h_target))
+    nx_hr = int(np.round(image.shape[-1] * h_image / h_target))
+    if ny_hr % 2 == 0:
+        ny_hr += 1
+    if nx_hr % 2 == 0:
+        nx_hr += 1
+    coord_hr = (
+        np.array(
+            [
+                np.arange(ny_hr) - (ny_hr - 1) / 2,
+                np.arange(nx_hr) - (nx_hr - 1) / 2,
+            ]
+        )
+        / h_image
+        * h_target
+    )
+    return sinc_interp(image, coord_hr, coord_lr, angle=angle)
+
+
+def get_common_padding(img1, img2, padding=None):
+    """Padding widths placing two centered images on a common frame.
+
+    Ref: interpolation.py:602-638.
+    """
+    h1, w1 = img1.shape[-2:]
+    h2, w2 = img2.shape[-2:]
+    height = h1 + h2
+    width = w1 + w2
+    if padding is not None:
+        height += padding
+        width += padding
+
+    def get_padding(h, w):
+        bottom = (height - h) // 2
+        top = height - h - bottom
+        left = (width - w) // 2
+        right = width - w - left
+        return ((bottom, top), (left, right))
+
+    return get_padding(h1, w1), get_padding(h2, w2)
+
+
+def subsample_function(y, x, f, dNy, dNx=None, dy=None, dx=None):
+    """Evaluate ``f`` on a grid subdivided ``dNy x dNx`` times per pixel.
+
+    Ref: interpolation.py:657-677.
+    """
+    if dx is None:
+        dx = x[1] - x[0]
+    if dy is None:
+        dy = y[1] - y[0]
+    if dNx is None:
+        dNx = dNy
+    assert dNy % 2 == 0, f"dNy must be even, received {dNy}"
+    assert dNx % 2 == 0, f"dNx must be even, received {dNx}"
+    _x = np.linspace(x[0] - dx / 2, x[-1] + dx / 2, len(x) * dNx + 1)
+    _y = np.linspace(y[0] - dy / 2, y[-1] + dy / 2, len(y) * dNy + 1)
+    return f(_y, _x), _y, _x
+
+
+def apply_2D_trapezoid_rule(y, x, f, dNy, dNx=None, dy=None, dx=None):
+    """Pixel-integrate ``f`` with a subsampled trapezoid rule.
+
+    Note: the reference uses a 0.4 corner weight (interpolation.py:695); we
+    keep that value for numerical parity.  Ref: interpolation.py:680-705.
+    """
+    if dy is None:
+        dy = y[1] - y[0]
+    if dx is None:
+        dx = x[1] - x[0]
+    if dNx is None:
+        dNx = dNy
+    z, _y, _x = subsample_function(y, x, f, dNy, dNx, dy, dx)
+
+    z = np.asarray(z)
+    dz = 0.4 * (z[:-1, :-1] + z[1:, :-1] + z[:-1, 1:] + z[1:, 1:])
+    volumes = dy * dx * dz / dNy / dNx
+    _dNy = len(_y) // dNy
+    _dNx = len(_x) // dNx
+    volumes = np.array(
+        np.split(np.array(np.split(volumes, _dNx, axis=1)), _dNy, axis=1)
+    ).sum(axis=(2, 3))
+    return volumes
+
+
+def get_psf_size(psf):
+    """Approximate 3-sigma radius of a PSF from its FWHM area.
+
+    Ref: interpolation.py:708-739.
+    """
+    psf = np.asarray(psf)
+    psf_frame = psf / np.max(psf)
+    area = np.sum(psf_frame > 0.5)
+    d = 2 * (area / np.pi) ** 0.5
+    return 3 * d / (2 * (2 * np.log(2)) ** 0.5)

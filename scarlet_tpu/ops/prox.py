@@ -1,0 +1,572 @@
+"""Proximal operators, TPU-first.
+
+All in-loop proxes are pure ``jnp`` functions that vectorize (``vmap``) over
+batches of morphologies.  The reference's sequential radius-ordered
+monotonicity sweep (operators_pybind11.cc:14-36) is reformulated as an exact
+Jacobi fixed-point iteration (see :func:`prox_weighted_monotonic`): because a
+pixel's reference neighbors are always strictly closer to the peak *and*
+8-neighbors, the Gauss-Seidel sweep's fixed point is reached after at most
+``max Chebyshev distance from the center`` parallel passes, each of which is
+eight shifted multiply-adds — pure VPU work.
+
+Host-side (init-time) operators that need data-dependent control flow
+(flood-fill monotonic masks) live here too, implemented iteratively in numpy
+(stack-based, no recursion — avoids the C-stack hazard of the reference
+noted in SURVEY.md §5.2).
+
+Behavioral references: scarlet/operator.py, scarlet/operators_pybind11.cc,
+proxmin.operators (prox_hard/prox_soft/prox_unity_plus).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import fft as fft_ops
+from ..cache import Cache
+
+__all__ = [
+    "prox_plus",
+    "prox_hard",
+    "prox_hard_plus",
+    "prox_soft",
+    "prox_soft_plus",
+    "prox_unity",
+    "prox_unity_plus",
+    "threshold",
+    "prox_threshold",
+    "sort_by_radius",
+    "monotonic_weights",
+    "prox_weighted_monotonic",
+    "build_prox_monotonic",
+    "get_center",
+    "prox_monotonic_mask",
+    "prox_sdss_symmetry",
+    "prox_soft_symmetry",
+    "prox_kspace_symmetry",
+    "prox_uncentered_symmetry",
+    "uncentered_operator",
+    "project_disk_sed",
+    "project_disk_sed_mean",
+]
+
+# 8-neighbor offsets in the reference's order (operator.py:84).
+NEIGHBOR_OFFSETS = (
+    (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1),
+)
+
+
+# ---------------------------------------------------------------------------
+# Elementary proxes (proxmin.operators equivalents)
+# ---------------------------------------------------------------------------
+def prox_plus(X, step=0):
+    """Projection onto the non-negative orthant."""
+    return jnp.maximum(X, 0)
+
+
+def _thresh_value(step, thresh, type):
+    assert type in ("relative", "absolute")
+    return thresh * step if type == "relative" else thresh
+
+
+def prox_hard(X, step, thresh=0, type="absolute"):
+    """Hard thresholding: zero out ``|X| < thresh``."""
+    t = _thresh_value(step, thresh, type)
+    return jnp.where(jnp.abs(X) < t, 0, X)
+
+
+def prox_hard_plus(X, step, thresh=0, type="absolute"):
+    """Hard thresholding followed by positivity."""
+    return prox_plus(prox_hard(X, step, thresh=thresh, type=type))
+
+
+def prox_soft(X, step, thresh=0, type="absolute"):
+    """Soft thresholding: shrink towards zero by ``thresh``."""
+    t = _thresh_value(step, thresh, type)
+    return jnp.sign(X) * jnp.maximum(jnp.abs(X) - t, 0)
+
+
+def prox_soft_plus(X, step, thresh=0, type="absolute"):
+    return jnp.maximum(prox_soft(X, step, thresh=thresh, type=type), 0)
+
+
+def prox_unity(X, step=0, axis=None):
+    """Normalize so the sum along ``axis`` is one."""
+    return X / jnp.sum(X, axis=axis, keepdims=axis is not None)
+
+
+def prox_unity_plus(X, step=0, axis=None):
+    return prox_unity(prox_plus(X), step, axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Noise-threshold prox (log-histogram cutoff)
+# ---------------------------------------------------------------------------
+def threshold(morph):
+    """Noise cutoff from the log10 histogram of positive pixels (host/numpy,
+    bit-exact with the reference).  Ref: scarlet/constraint.py:165-180.
+
+    Returns (thresh, bins).
+    """
+    morph = np.asarray(morph)
+    _morph = morph[morph > 0]
+    _bins = 50
+    if _morph.size < 500:
+        _bins = max(int(_morph.size / 10), 1)
+        if _bins == 1:
+            return 0, _bins
+    hist, bins = np.histogram(np.log10(_morph).reshape(-1), _bins)
+    cutoff = np.where(hist == 0)[0]
+    if len(cutoff) == 0:
+        return 0, _bins
+    return 10 ** bins[cutoff[-1]], _bins
+
+
+def prox_threshold(X, step=0):
+    """Jit-friendly equivalent of :func:`threshold` + hard-plus prox.
+
+    Reproduces the reference semantics (including the shrinking bin count
+    for small morphologies) with traced values: bin indices are computed
+    arithmetically so the dynamic bin count needs no dynamic shapes.
+    """
+    pos = X > 0
+    n = jnp.sum(pos)
+    logX = jnp.where(pos, jnp.log10(jnp.where(pos, X, 1.0)), 0.0)
+    lo = jnp.min(jnp.where(pos, logX, jnp.inf))
+    hi = jnp.max(jnp.where(pos, logX, -jnp.inf))
+
+    max_bins = 50
+    nb = jnp.where(n < 500, jnp.clip(n // 10, 1, max_bins), max_bins)
+
+    width = jnp.where(hi > lo, (hi - lo), 1.0)
+    idx = jnp.clip(jnp.floor((logX - lo) / width * nb), 0, nb - 1).astype(jnp.int32)
+    counts = jnp.zeros((max_bins,), jnp.int32).at[
+        jnp.where(pos, idx, max_bins - 1).reshape(-1)
+    ].add(jnp.where(pos, 1, 0).reshape(-1).astype(jnp.int32))
+    # last empty bin among bins [0, nb)
+    bin_ids = jnp.arange(max_bins)
+    empty = (counts == 0) & (bin_ids < nb)
+    cutoff = jnp.max(jnp.where(empty, bin_ids, -1))
+    thresh_val = 10 ** (lo + cutoff * width / nb)
+    thresh = jnp.where((cutoff < 0) | (nb <= 1) | (n == 0), 0.0, thresh_val)
+    return prox_hard_plus(X, step, thresh=thresh, type="absolute")
+
+
+# ---------------------------------------------------------------------------
+# Weighted radial monotonicity
+# ---------------------------------------------------------------------------
+def sort_by_radius(shape, center=None):
+    """Flat pixel indices sorted by distance from ``center``.
+
+    Ref: scarlet/operator.py:10-48.
+    """
+    if center is None:
+        cx = (shape[1] - 1) >> 1
+        cy = (shape[0] - 1) >> 1
+    else:
+        cy, cx = int(center[0]), int(center[1])
+    X, Y = np.meshgrid(np.arange(shape[1]) - cx, np.arange(shape[0]) - cy)
+    distance = np.sqrt(X ** 2 + Y ** 2)
+    return np.argsort(distance.flatten())
+
+
+def monotonic_weights(shape, neighbor_weight="flat", center=None):
+    """(8, H, W) neighbor weights for the radial monotonicity projection.
+
+    For each pixel, weights over its 8 neighbors that are strictly closer to
+    the ``center``; 'angle' weights by the cosine between the pixel->center
+    and pixel->neighbor directions (always positive for closer neighbors),
+    'flat' weighs them equally, 'nearest' one-hots the best-aligned one.
+    Normalized so weights per pixel sum to 1 (except 'nearest').
+
+    This is a direct 2D formulation of the reference's band-diagonal
+    construction (scarlet/operator.py:591-667) without its flat-index
+    wrap-around edge cases.
+    """
+    assert neighbor_weight in ("flat", "angle", "nearest")
+    H, W = shape
+    if center is None:
+        center = ((H - 1) // 2, (W - 1) // 2)
+    py, px = int(center[0]), int(center[1])
+
+    X, Y = np.meshgrid(np.arange(W, dtype=np.float64) - px,
+                       np.arange(H, dtype=np.float64) - py)
+    distance = np.sqrt(X ** 2 + Y ** 2)
+    # Angle of the pixel->center direction, matching the reference's
+    # arctan2(-Y, -X) patched convention (operator.py:618-622).
+    angles = np.arctan2(-Y, -np.where(X == 0, 0.0, X))
+    on_axis = (X == 0) & (Y != 0)
+    angles[on_axis] = 0.5 * np.pi * np.sign(-Y[on_axis])
+
+    weights = np.zeros((8, H, W), dtype=np.float64)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+        ny, nx = yy + dy, xx + dx
+        valid = (ny >= 0) & (ny < H) & (nx >= 0) & (nx < W)
+        nyc = np.clip(ny, 0, H - 1)
+        nxc = np.clip(nx, 0, W - 1)
+        closer = distance - distance[nyc, nxc] > 0
+        ok = valid & closer
+        rel_angle = np.arctan2(dy, dx)
+        w = np.cos(angles - rel_angle)
+        weights[d] = np.where(ok, w, 0.0)
+
+    if neighbor_weight == "nearest":
+        best = np.argmax(weights, axis=0)
+        one_hot = np.zeros_like(weights)
+        one_hot[best, yy, xx] = 1.0
+        one_hot *= (weights.max(axis=0) > 0)
+        one_hot[:, py, px] = 0
+        return one_hot
+
+    if neighbor_weight == "flat":
+        weights = (weights != 0).astype(np.float64)
+    norm = weights.sum(axis=0)
+    norm[norm == 0] = 1
+    return weights / norm
+
+
+def _shifted(x, dy, dx):
+    """n[y, x] = x[y+dy, x+dx], zero outside."""
+    pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
+    padded = jnp.pad(x, pad)
+    H, W = x.shape[-2:]
+    y0 = max(0, dy)
+    x0 = max(0, dx)
+    return padded[..., y0:y0 + H, x0:x0 + W]
+
+
+def prox_weighted_monotonic(X, weights, n_iter, min_gradient=0.1, center=None):
+    """Radially monotonic projection (jit/vmap-friendly).
+
+    Exact parallel formulation of the reference's sequential sweep
+    (operators_pybind11.cc:14-36): iterate
+    ``X <- min(X0, (sum_d w_d * shift_d(X)) * (1 - min_gradient))`` from the
+    original ``X0``.  Reference neighbors are strictly closer to the peak, so
+    the dependency graph is a DAG; after ``n_iter >= depth(DAG)`` Jacobi
+    passes every pixel has recomputed its value from finalized references and
+    the result equals the sequential (Gauss-Seidel-in-distance-order) sweep
+    exactly.  Use :func:`monotonic_depth` for the exact minimal ``n_iter``.
+
+    Parameters
+    ----------
+    X: (H, W) array
+    weights: (8, H, W) from :func:`monotonic_weights`
+    n_iter: static int, number of Jacobi passes
+    center: (cy, cx) static ints; the center pixel is never modified
+    """
+    H, W = X.shape[-2:]
+    if center is None:
+        center = ((H - 1) // 2, (W - 1) // 2)
+    cy, cx = int(center[0]), int(center[1])
+    keep_center = jnp.zeros((H, W), bool).at[cy, cx].set(True)
+    scale = 1.0 - min_gradient
+    X0 = X
+
+    def body(_, x):
+        ref = jnp.zeros_like(x)
+        for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            ref = ref + weights[d] * _shifted(x, dy, dx)
+        new = jnp.minimum(X0, ref * scale)
+        return jnp.where(keep_center, X0, new)
+
+    return jax.lax.fori_loop(0, n_iter, body, X0)
+
+
+def monotonic_depth(weights, shape, center):
+    """Depth of the monotonicity reference DAG = exact number of Jacobi
+    passes needed for :func:`prox_weighted_monotonic` to reproduce the
+    sequential sweep.  Host-side, cached by the builder.
+    """
+    H, W = shape
+    w = np.asarray(weights) > 0
+    order = sort_by_radius(shape, center)
+    depth = np.zeros(H * W, dtype=np.int64)
+    for flat in order:
+        y, x = divmod(int(flat), W)
+        best = -1
+        for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            if w[d, y, x]:
+                best = max(best, depth[(y + dy) * W + (x + dx)])
+        depth[flat] = best + 1
+    return int(depth.max())
+
+
+def build_prox_monotonic(shape, neighbor_weight="flat", min_gradient=0.1,
+                         center=None):
+    """Build a monotonicity prox ``f(X, step) -> X`` for a fixed shape/center.
+
+    Weight construction is cached (it is the expensive part, mirroring the
+    reference's Cache usage in constraint.py:210-223).
+    """
+    H, W = shape
+    if center is None:
+        center = ((H - 1) // 2, (W - 1) // 2)
+    cy, cx = int(center[0]), int(center[1])
+    key = (tuple(shape), (cy, cx), neighbor_weight, float(min_gradient))
+    try:
+        weights, n_iter = Cache.check("monotonic_weights", key)
+    except KeyError:
+        weights_np = monotonic_weights(shape, neighbor_weight, center)
+        n_iter = monotonic_depth(weights_np, shape, (cy, cx))
+        weights = jnp.asarray(weights_np)
+        Cache.set("monotonic_weights", key, (weights, n_iter))
+
+    def prox(X, step=0):
+        return prox_weighted_monotonic(
+            X, weights, n_iter, min_gradient=min_gradient, center=(cy, cx)
+        )
+
+    return prox
+
+
+# ---------------------------------------------------------------------------
+# Monotonic mask (flood fill from the center) — host-side, init-time
+# ---------------------------------------------------------------------------
+def get_center(image, center, radius=1):
+    """Search a (2r+1)^2 window around ``center`` for the peak pixel.
+
+    Ref: scarlet/operator.py:99-129.
+    """
+    image = np.asarray(image)
+    cy, cx = int(center[0]), int(center[1])
+    y0 = max(cy - radius, 0)
+    x0 = max(cx - radius, 0)
+    subset = image[y0:cy + radius + 1, x0:cx + radius + 1]
+    c = np.unravel_index(np.argmax(subset), subset.shape)
+    return c[0] + y0, c[1] + x0
+
+
+def _flood_monotonic(image, i, j, unchecked, orphans, variance, bounds, thresh=0.0):
+    """Iterative (explicit-stack) equivalent of the reference's recursive
+    flood fill (detecting pixels monotonic along some path from the center).
+    Ref: scarlet/operators_pybind11.cc:61-124.
+    """
+    H, W = image.shape
+    stack = [(i, j)]
+    while stack:
+        ci, cj = stack.pop()
+        for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            ni, nj = ci + di, cj + dj
+            if not (0 <= ni < H and 0 <= nj < W) or not unchecked[ni, nj]:
+                continue
+            if image[ni, nj] < image[ci, cj] + variance and image[ni, nj] > thresh:
+                unchecked[ni, nj] = False
+                orphans[ni, nj] = False
+                bounds[0] = min(bounds[0], ni)
+                bounds[1] = max(bounds[1], ni)
+                bounds[2] = min(bounds[2], nj)
+                bounds[3] = max(bounds[3], nj)
+                stack.append((ni, nj))
+            else:
+                orphans[ni, nj] = True
+
+
+def _interpolate_orphans(all_i, all_j, unchecked, model, orphans, variance, bounds):
+    """Fill non-monotonic 'orphans' from neighbor gradients, then continue
+    the flood fill from them.  Ref: operators_pybind11.cc:127-232.
+    """
+    H, W = model.shape
+    for i, j in zip(all_i, all_j):
+        if not unchecked[i, j]:
+            continue
+        unchecked[i, j] = False
+        total = 0.0
+        valid_count = 0
+        had_unchecked = False
+        for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            i2, j2 = i + 2 * di, j + 2 * dj
+            i1, j1 = i + di, j + dj
+            if not (0 <= i2 < H and 0 <= j2 < W):
+                continue
+            if model[i2, j2] > model[i1, j1]:
+                if unchecked[i2, j2] or unchecked[i1, j1]:
+                    had_unchecked = True
+                else:
+                    grad = model[i2, j2] - model[i1, j1]
+                    total += model[i1, j1] - grad
+                    valid_count += 1
+        if total > 0:
+            model[i, j] = total / valid_count
+            orphans[i, j] = False
+            bounds[0] = min(bounds[0], i)
+            bounds[1] = max(bounds[1], i)
+            bounds[2] = min(bounds[2], j)
+            bounds[3] = max(bounds[3], j)
+            _flood_monotonic(model, i, j, unchecked, orphans, variance, bounds)
+        elif had_unchecked:
+            pass
+        else:
+            orphans[i, j] = True
+            model[i, j] = 0
+
+
+def prox_monotonic_mask(X, step=0, center=None, center_radius=1, variance=0.0,
+                        max_iter=3):
+    """Keep only pixels reachable monotonically from the center; returns
+    ``(valid, model, bounds)``.  Host-side numpy (init-time use).
+
+    Ref: scarlet/operator.py:132-180.
+    """
+    X = np.asarray(X)
+    if center is None:
+        center = (X.shape[0] // 2, X.shape[1] // 2)
+    if center_radius > 0:
+        i, j = get_center(X, center, center_radius)
+    else:
+        i, j = int(np.round(center[0])), int(np.round(center[1]))
+    unchecked = np.ones(X.shape, dtype=bool)
+    unchecked[i, j] = False
+    orphans = np.zeros(X.shape, dtype=bool)
+    bounds = np.array([i, i, j, j], dtype=np.int32)
+    _flood_monotonic(X, i, j, unchecked, orphans, variance, bounds)
+    model = X.copy()
+
+    it = 0
+    while np.sum(orphans & unchecked) > 0 and it < max_iter:
+        it += 1
+        all_i, all_j = np.where(orphans)
+        _interpolate_orphans(all_i, all_j, unchecked, model, orphans, variance,
+                             bounds)
+    valid = ~unchecked & ~orphans
+    model = model * valid
+    return valid, model, bounds
+
+
+# ---------------------------------------------------------------------------
+# Symmetry
+# ---------------------------------------------------------------------------
+def prox_sdss_symmetry(X, step=0):
+    """min(X, 180deg-rotated X). Ref: operator.py:263-271."""
+    return jnp.minimum(X, X[::-1, ::-1])
+
+
+def prox_soft_symmetry(X, step=0, strength=1):
+    """Soft symmetry: blend with the 180deg rotation by ``strength``.
+
+    Even shapes are padded by one so the rotation center is a pixel.
+    Ref: operator.py:274-293.
+    """
+    H, W = X.shape
+    pads = [[0, 0], [0, 0]]
+    slices = [slice(None), slice(None)]
+    if H % 2 == 0:
+        pads[0][1] = 1
+        slices[0] = slice(0, H)
+    if W % 2 == 0:
+        pads[1][1] = 1
+        slices[1] = slice(0, W)
+    Xp = jnp.pad(X, pads)
+    Xs = Xp[::-1, ::-1]
+    out = 0.5 * strength * (Xp + Xs) + (1 - strength) * Xp
+    return out[tuple(slices)]
+
+
+def prox_kspace_symmetry(X, step=0, shift=None, padding=10):
+    """Symmetrize under a fractional shift by discarding the imaginary part
+    in Fourier space.  Ref: operator.py:296-332.
+    """
+    fft_shape = fft_ops.good_fft_shape(X, X, padding=padding)
+    dy, dx = shift
+    zero_mask = X <= 0
+
+    X_fft = fft_ops.transform(X, fft_shape, (0, 1))
+    shifter_y, shifter_x = fft_ops.mk_shifter(fft_shape)
+
+    result_fft = X_fft * jnp.exp(shifter_y[:, None] * (-dy))
+    result_fft = result_fft * jnp.exp(shifter_x[None, :] * (-dx))
+    result_fft = result_fft.real.astype(X_fft.dtype)
+    result_fft = result_fft * jnp.exp(shifter_y[:, None] * dy)
+    result_fft = result_fft * jnp.exp(shifter_x[None, :] * dx)
+
+    result = fft_ops.inverse_transform(result_fft, fft_shape, X.shape, (0, 1))
+    return jnp.where(zero_mask, 0.0, jnp.real(result))
+
+
+def uncentered_operator(X, func, center=None, fill=None, **kwargs):
+    """Apply ``func`` only on the largest centered sub-window around
+    ``center``.  Ref: operator.py:207-260.  ``center`` must be static.
+    """
+    if center is None:
+        X_host = np.asarray(X)
+        py, px = np.unravel_index(np.argmax(X_host), X_host.shape)
+    else:
+        py, px = center
+    cy, cx = np.array(X.shape) // 2
+
+    if py == cy and px == cx:
+        return func(X, **kwargs)
+
+    dy = int(2 * (py - cy))
+    dx = int(2 * (px - cx))
+    if not X.shape[0] % 2:
+        dy += 1
+    if not X.shape[1] % 2:
+        dx += 1
+    xslice = slice(None, dx) if dx < 0 else slice(dx, None)
+    yslice = slice(None, dy) if dy < 0 else slice(dy, None)
+
+    sub = func(X[yslice, xslice], **kwargs)
+    if fill is not None:
+        out = jnp.full(X.shape, fill, X.dtype)
+    else:
+        out = X
+    return out.at[yslice, xslice].set(sub)
+
+
+def prox_uncentered_symmetry(X, step=0, center=None, algorithm="kspace",
+                             fill=None, shift=None, strength=0.5):
+    """Symmetry about an off-center peak. Ref: operator.py:335-400."""
+    if algorithm == "kspace" and (shift is None or np.all(np.asarray(shift) == 0)):
+        algorithm = "soft"
+        strength = 1
+    if algorithm == "kspace":
+        return uncentered_operator(
+            X, prox_kspace_symmetry, center, shift=shift, step=step, fill=fill
+        )
+    if algorithm == "sdss":
+        return uncentered_operator(X, prox_sdss_symmetry, center, step=step,
+                                   fill=fill)
+    if algorithm == "soft":
+        return uncentered_operator(
+            X, prox_soft_symmetry, center, step=step, strength=strength, fill=fill
+        )
+    raise ValueError(
+        f"algorithm must be one of 'soft', 'sdss', 'kspace', received '{algorithm}'"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bulge/disk SED projections (host-side, specialty)
+# ---------------------------------------------------------------------------
+def project_disk_sed_mean(bulge_sed, disk_sed):
+    """Project the disk SED to be bluer than the bulge (mean-slope variant).
+
+    Ref: operator.py:450-472.
+    """
+    bulge_sed = np.asarray(bulge_sed)
+    new_sed = np.array(disk_sed, copy=True)
+    diff = bulge_sed - new_sed
+    slope = (diff[-1] - diff[0]) / (len(bulge_sed) - 1)
+    for s in range(1, len(diff) - 1):
+        if diff[s] < diff[s - 1]:
+            new_sed[s] = bulge_sed[s] - (slope * s + diff[0])
+            diff[s] = bulge_sed[s] - new_sed[s]
+    return new_sed
+
+
+def project_disk_sed(bulge_sed, disk_sed):
+    """Project the disk SED to be bluer than the bulge (running-difference
+    variant).  Ref: operator.py:475-497.
+    """
+    bulge_sed = np.asarray(bulge_sed)
+    new_sed = np.array(disk_sed, copy=True)
+    diff = bulge_sed - new_sed
+    for s in range(1, len(diff) - 1):
+        if diff[s] < diff[s - 1]:
+            new_sed[s] = new_sed[s] + diff[s - 1]
+            diff[s] = diff[s - 1]
+    return new_sed

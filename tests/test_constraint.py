@@ -1,0 +1,222 @@
+"""Constraint/prox tests, mirroring the reference's tests/test_constraint.py
+including the hard-coded monotonicity regression matrices — the parity
+anchors for the parallel (Jacobi) monotonicity kernel."""
+import numpy as np
+import jax.numpy as jnp
+from numpy.testing import assert_array_equal, assert_almost_equal
+
+import scarlet_tpu as st
+from scarlet_tpu.ops import prox as prox_ops
+
+
+def _sequential_monotonic(X, weights, order, min_gradient):
+    """Direct sequential (radius-ordered Gauss-Seidel) sweep used to verify
+    the Jacobi formulation; semantics of operators_pybind11.cc:14-36."""
+    H, W = X.shape
+    flat = X.flatten()
+    w = np.asarray(weights).reshape(8, -1)
+    offsets = [dy * W + dx for dy, dx in prox_ops.NEIGHBOR_OFFSETS]
+    for didx in order[1:]:
+        ref_flux = 0.0
+        for d in range(8):
+            if w[d, didx] > 0:
+                ref_flux += flat[didx + offsets[d]] * w[d, didx]
+        flat[didx] = min(flat[didx], ref_flux * (1 - min_gradient))
+    return flat.reshape(H, W)
+
+
+class TestConstraints:
+    def test_positivity(self):
+        X = np.random.rand(100) - 0.5
+        step = 0
+
+        constraint = st.PositivityConstraint()
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        assert all(X_ >= 0)
+
+        constraint = st.PositivityConstraint(zero=0.1)
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        assert all(X_ >= 0.1)
+
+    def test_normalization(self):
+        X = np.random.rand(100)
+        step = 0
+
+        constraint = st.NormalizationConstraint(type="sum")
+        assert_almost_equal(np.asarray(constraint(jnp.asarray(X), step)),
+                            X / X.sum())
+
+        constraint = st.NormalizationConstraint(type="max")
+        assert_almost_equal(np.asarray(constraint(jnp.asarray(X), step)),
+                            X / X.max())
+
+    def test_l0(self):
+        X = np.random.rand(100) - 0.5
+        step = 0.5
+        thresh = 0.25
+
+        constraint = st.L0Constraint(thresh=thresh, type="relative")
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        mask = np.abs(X) < thresh * step
+        assert all(np.abs(X_[mask]) == 0)
+        assert_array_equal(X_[~mask], X[~mask])
+
+        constraint = st.L0Constraint(thresh=thresh, type="absolute")
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        mask = np.abs(X) < thresh
+        assert all(np.abs(X_[mask]) == 0)
+        assert_array_equal(X_[~mask], X[~mask])
+
+    def test_l1(self):
+        X = np.random.rand(100) - 0.5
+        step = 0.5
+        thresh = 0.25
+
+        constraint = st.L1Constraint(thresh=thresh, type="relative")
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        thresh_ = thresh * step
+        mask = np.abs(X) < thresh_
+        assert all(np.abs(X_[mask]) == 0)
+        assert_almost_equal(np.abs(X_[~mask]), np.abs(np.abs(X[~mask]) - thresh_))
+
+        constraint = st.L1Constraint(thresh=thresh, type="absolute")
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        mask = np.abs(X) < thresh
+        assert all(np.abs(X_[mask]) == 0)
+        assert_almost_equal(np.abs(X_[~mask]), np.abs(np.abs(X[~mask]) - thresh))
+
+    def test_threshold(self):
+        # Mirrors the reference regression (tests/test_constraint.py:74-91).
+        # The reference test pins 0.05704869232578929 "from reference
+        # version" — a historical value from an older scarlet; running the
+        # reference's *current* algorithm (verified independently with pure
+        # scipy/numpy) on this seeded input gives 0.05838273148820266, which
+        # is the value we pin.
+        np.random.seed(0)
+        noise = np.random.rand(21, 21) * 2
+        signal = np.zeros(noise.shape)
+        psf = np.asarray(st.GaussianPSF(sigma=1, boxsize=21).get_model())
+        signal[7:14, 7:14] = psf[0, 7:14, 7:14]
+        X = signal + noise
+
+        thresh, _bins = prox_ops.threshold(X)
+        assert _bins == 44
+        assert_almost_equal(thresh, 0.05838273148820266)
+
+        constraint = st.ThresholdConstraint()
+        X_ = np.asarray(constraint(jnp.asarray(X), 0))
+        mask = X < thresh
+        assert np.all(X_[mask] == 0)
+        assert_almost_equal(X_[~mask], X[~mask])
+
+    def test_monotonic(self):
+        shape = (5, 5)
+        X = np.arange(shape[0] * shape[1], dtype=float).reshape(*shape)
+        step = 0
+
+        constraint = st.MonotonicityConstraint(
+            neighbor_weight="nearest", min_gradient=0
+        )
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        new_X = [
+            [0.0, 1.0, 2.0, 3.0, 4.0],
+            [5.0, 6.0, 7.0, 8.0, 9.0],
+            [10.0, 11.0, 12.0, 12.0, 12.0],
+            [11.0, 12.0, 12.0, 12.0, 12.0],
+            [12.0, 12.0, 12.0, 12.0, 12.0],
+        ]
+        assert_array_equal(X_, new_X)
+
+        constraint = st.MonotonicityConstraint(
+            neighbor_weight="angle", min_gradient=0
+        )
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        new_X = [
+            [0.000000000, 1.000000000, 2.000000000, 3.000000000, 4.000000000],
+            [5.000000000, 6.000000000, 7.000000000, 8.000000000, 9.000000000],
+            [9.742640687, 11.000000000, 12.000000000, 12.000000000, 10.828427125],
+            [11.030627697, 11.707106781, 12.000000000, 12.000000000, 11.771236166],
+            [11.556349186, 11.868867239, 11.914213562, 11.983249156, 11.928090416],
+        ]
+        assert_almost_equal(X_, new_X)
+
+        constraint = st.MonotonicityConstraint(
+            neighbor_weight="angle", min_gradient=0.25
+        )
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        new_X = [
+            [0.000000000, 1.000000000, 2.000000000, 3.000000000, 4.000000000],
+            [5.000000000, 6.000000000, 7.000000000, 7.242640687, 5.806841831],
+            [5.801461031, 9.000000000, 12.000000000, 9.000000000, 6.074431804],
+            [5.895545844, 7.681980515, 9.000000000, 7.681980515, 5.935521488],
+            [4.988519641, 5.949655012, 6.170941546, 5.949655012, 4.997301087],
+        ]
+        assert_almost_equal(X_, new_X)
+
+    def test_monotonic_jacobi_equals_sequential(self):
+        """Property test: the parallel Jacobi formulation must reproduce the
+        sequential radius-ordered sweep on random images, shapes, centers."""
+        rng = np.random.RandomState(42)
+        for shape, center, nw, mg in [
+            ((7, 7), None, "flat", 0.1),
+            ((8, 11), None, "angle", 0.0),
+            ((9, 9), (2, 6), "angle", 0.05),
+            ((12, 8), (3, 3), "nearest", 0.2),
+        ]:
+            H, W = shape
+            c = center if center is not None else ((H - 1) // 2, (W - 1) // 2)
+            X = rng.rand(H, W) * 10
+            weights = prox_ops.monotonic_weights(shape, nw, c)
+            order = prox_ops.sort_by_radius(shape, c)
+            expected = _sequential_monotonic(X.copy(), weights, order, mg)
+
+            n_iter = prox_ops.monotonic_depth(weights, shape, c)
+            got = np.asarray(
+                prox_ops.prox_weighted_monotonic(
+                    jnp.asarray(X), jnp.asarray(weights), n_iter,
+                    min_gradient=mg, center=c,
+                )
+            )
+            assert_almost_equal(got, expected, decimal=10)
+
+    def test_symmetry(self):
+        shape = (5, 5)
+        X = np.arange(shape[0] * shape[1], dtype=float).reshape(*shape)
+        step = 0
+
+        constraint = st.SymmetryConstraint()
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        assert_almost_equal(X_, np.ones_like(X) * 12)
+
+        constraint = st.SymmetryConstraint(strength=0.5)
+        X_ = np.asarray(constraint(jnp.asarray(X), step))
+        new_X = [
+            [6.0, 6.5, 7.0, 7.5, 8.0],
+            [8.5, 9.0, 9.5, 10.0, 10.5],
+            [11.0, 11.5, 12.0, 12.5, 13.0],
+            [13.5, 14.0, 14.5, 15.0, 15.5],
+            [16.0, 16.5, 17.0, 17.5, 18.0],
+        ]
+        assert_almost_equal(X_, new_X)
+
+    def test_center_on(self):
+        X = jnp.zeros((5, 5))
+        constraint = st.CenterOnConstraint()
+        X = constraint(X, 0)
+        assert X[2, 2] > 0
+
+    def test_monotonic_mask(self):
+        """Flood-fill monotonic mask keeps a monotonic profile intact and
+        removes disconnected clumps."""
+        y, x = np.mgrid[-7:8, -7:8]
+        profile = np.exp(-0.2 * np.sqrt(x ** 2 + y ** 2))
+        valid, model, bounds = prox_ops.prox_monotonic_mask(profile, 0)
+        assert_almost_equal(model, profile)
+
+        clumpy = profile.copy()
+        clumpy[1, 1] = 5.0  # non-monotonic spike away from center
+        valid, model, bounds = prox_ops.prox_monotonic_mask(
+            clumpy, 0, center=(7, 7), center_radius=0, max_iter=0
+        )
+        assert not valid[1, 1]
+        assert model[1, 1] == 0

@@ -1,0 +1,115 @@
+"""FFT centering-convention and PSF-matching tests, mirroring the
+reference's tests/test_fft.py (the parity anchors for the convolution
+engine)."""
+import numpy as np
+from numpy.testing import assert_array_equal, assert_almost_equal
+
+import scarlet_tpu as st
+from scarlet_tpu.ops import fft
+
+
+class TestCentering:
+    def test_shift(self):
+        a0 = np.ones((1, 1))
+        a_pad = np.asarray(fft.zero_pad(a0, (5, 4)))
+        truth = [
+            [0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+        ]
+        assert_array_equal(a_pad, truth)
+
+        a_shift = np.fft.ifftshift(a_pad)
+        truth = [
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+        ]
+        assert_array_equal(a_shift, truth)
+        assert_array_equal(np.fft.fftshift(a_shift), a_pad)
+
+    def test_center(self):
+        shape = (5, 2)
+        a0 = np.arange(10).reshape(shape)
+        a_pad = np.asarray(fft.zero_pad(a0, (9, 11)))
+        truth = [
+            [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 2, 3, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 4, 5, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 6, 7, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 8, 9, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+        ]
+        assert_array_equal(a_pad, truth)
+
+        a_final = np.asarray(fft.centered(a_pad, shape))
+        assert_array_equal(a_final, a0)
+
+
+class TestFourier:
+    def get_psfs(self, sigmas):
+        boxsize = 41
+        psf = st.GaussianPSF(sigmas, boxsize=boxsize)
+        return psf.get_model()
+
+    def test_2D_psf_matching(self):
+        psf1 = fft.Fourier(self.get_psfs(1))
+        psf2 = fft.Fourier(self.get_psfs(2))
+
+        kernel_1to2 = fft.match_psf(psf2, psf1)
+        img2 = fft.convolve(psf1, kernel_1to2)
+        assert_almost_equal(np.asarray(img2.image), np.asarray(psf2.image))
+
+        kernel_2to1 = fft.match_psf(psf1, psf2)
+        img1 = fft.convolve(psf2, kernel_2to1)
+        assert_almost_equal(np.asarray(img1.image), np.asarray(psf1.image))
+
+    def test_multiband_psf_matching(self):
+        psf1 = fft.Fourier(self.get_psfs(1))
+        psf2 = fft.Fourier(self.get_psfs((1, 2, 3)))
+
+        kernel_1to2 = fft.match_psf(psf2, psf1)
+        image = fft.convolve(kernel_1to2, psf1)
+        assert_almost_equal(np.asarray(psf2.image), np.asarray(image.image))
+
+        kernel_2to1 = fft.match_psf(psf1, psf2)
+        image = np.asarray(fft.convolve(kernel_2to1, psf2).image)
+        for img in image:
+            assert_almost_equal(img, np.asarray(psf1.image[0]))
+
+    def test_convolve_fft_hot_path(self):
+        """Precomputed-kernel convolution must agree with the Fourier-object
+        path (the jit-compiled formulation used inside the fit loop)."""
+        rng = np.random.RandomState(0)
+        image = rng.rand(3, 20, 22)
+        kernel = np.asarray(self.get_psfs((1.0, 1.5, 2.0)))
+
+        ref = np.asarray(fft.convolve(image, kernel, return_fourier=False))
+
+        fft_shape = fft.good_fft_shape(image, kernel, padding=3, axes=(-2, -1))
+        k_rfft = fft.transform(np.asarray(kernel), fft_shape, (-2, -1))
+        hot = np.asarray(
+            fft.convolve_fft(np.asarray(image), k_rfft, fft_shape, (-2, -1))
+        )
+        assert_almost_equal(hot, ref)
+
+    def test_shift(self):
+        """Integer Fourier shifts of a centered compact signal match rolls;
+        half-pixel shifts are symmetric."""
+        psf = np.asarray(self.get_psfs(1))[0]  # 41x41, compact support
+        shifted = np.asarray(fft.shift(psf, (3, -2), return_fourier=False))
+        assert_almost_equal(shifted, np.roll(psf, (3, -2), axis=(0, 1)),
+                            decimal=8)
+
+        # fractional shift there and back on a smooth compact signal
+        # (limited by the real-transform Nyquist bin, as in the reference)
+        there = fft.shift(psf, (0.3, -0.2), return_fourier=False)
+        back = np.asarray(fft.shift(there, (-0.3, 0.2), return_fourier=False))
+        assert_almost_equal(back, psf, decimal=4)
