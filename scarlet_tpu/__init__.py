@@ -13,6 +13,10 @@ from .bbox import Box, overlapped_slices  # noqa: F401
 from .cache import Cache  # noqa: F401
 from . import ops  # noqa: F401
 from .ops.wavelet import Starlet  # noqa: F401
+from . import initialization  # noqa: F401
+from . import detect  # noqa: F401
+from . import optim  # noqa: F401
+from . import lite  # noqa: F401
 from .models import (  # noqa: F401
     Parameter,
     prepare_param,

@@ -263,7 +263,8 @@ def prox_weighted_monotonic(X, weights, n_iter, min_gradient=0.1, center=None):
         center = ((H - 1) // 2, (W - 1) // 2)
     cy, cx = int(center[0]), int(center[1])
     keep_center = jnp.zeros((H, W), bool).at[cy, cx].set(True)
-    scale = 1.0 - min_gradient
+    scale = jnp.asarray(1.0 - min_gradient, X.dtype)
+    weights = jnp.asarray(weights, X.dtype)
     X0 = X
 
     def body(_, x):
