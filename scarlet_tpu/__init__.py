@@ -41,4 +41,36 @@ from .models import (  # noqa: F401
     GaussianPSF,
     MoffatPSF,
     ImagePSF,
+    Frame,
+    Renderer,
+    NullRenderer,
+    ConvolutionRenderer,
+    Observation,
+    Spectrum,
+    TabulatedSpectrum,
+    Morphology,
+    ImageMorphology,
+    ProfileMorphology,
+    GaussianMorphology,
+    SpergelMorphology,
+    PointSourceMorphology,
+    StarletMorphology,
+    ExtendedSourceMorphology,
+    Component,
+    FactorizedComponent,
+    CubeComponent,
+    CombinedComponent,
+    NullSource,
+    RandomSource,
+    PointSource,
+    GaussianSource,
+    SpergelSource,
+    CompactExtendedSource,
+    SingleExtendedSource,
+    MultiExtendedSource,
+    StarletSource,
+    ExtendedSource,
+    Blend,
 )
+from . import measure  # noqa: F401
+from . import display  # noqa: F401

@@ -440,6 +440,12 @@ class LiteBlend:
         return np.array(self.loss)
 
     # -- compiled fit ------------------------------------------------------
+    def engine_setup(self, e_rel=1e-4, min_iter=1):
+        """Public access to the (config, data, state) pytrees of the
+        compiled engine — the entry point for batched fitting
+        (scarlet_tpu.parallel)."""
+        return self._engine_setup(e_rel, min_iter)
+
     def _engine_setup(self, e_rel, min_iter):
         obs = self.observation
         comps = self.components
@@ -448,12 +454,17 @@ class LiteBlend:
 
         box_sizes = [c.bbox.shape[-1] for c in comps]
         Hb = max(max(c.bbox.shape[-2] for c in comps), max(box_sizes))
+        # Cap the shared bucket at the scene size: model flux outside the
+        # scene never enters the likelihood, and oversized boxes inflate the
+        # monotonicity depth quadratically.
+        cap = max(H, W) + 1
+        Hb = min(Hb, cap)
         if Hb % 2 == 0:
             Hb += 1
         box_shape = (Hb, Hb)
 
         if obs.diff_kernel is not None:
-            fft_shape = fft_ops.good_fft_shape(
+            fft_shape = fft_ops.good_fft_shape_even(
                 obs.images, obs.diff_kernel.image, padding=obs.padding,
                 axes=(1, 2))
             diff_kernel = obs.diff_kernel.image
@@ -500,13 +511,23 @@ class LiteBlend:
 
         pads = []
         for k, c in enumerate(comps):
-            _, h, w = c.bbox.shape
+            _, h0, w0 = c.bbox.shape
+            morph_k = np.asarray(c.morph)
+            oy, ox = c.bbox.origin[-2], c.bbox.origin[-1]
+            # center-crop morphologies larger than the bucket
+            cy = (h0 - Hb) // 2 if h0 > Hb else 0
+            cx = (w0 - Hb) // 2 if w0 > Hb else 0
+            h = min(h0, Hb)
+            w = min(w0, Hb)
+            morph_k = morph_k[cy:cy + h, cx:cx + w]
+            oy += cy
+            ox += cx
             dy = (Hb - h) // 2
             dx = (Hb - w) // 2
-            pads.append((dy, dx, h, w))
+            pads.append((dy, dx, h, w, cy, cx, h0, w0))
             seds[k] = np.asarray(c.sed)
-            morphs[k, dy:dy + h, dx:dx + w] = np.asarray(c.morph)
-            origins[k] = (c.bbox.origin[-2] - dy, c.bbox.origin[-1] - dx)
+            morphs[k, dy:dy + h, dx:dx + w] = morph_k
+            origins[k] = (oy - dy, ox - dx)
             if isinstance(c._sed, AdaproxParameter):
                 st = c._sed.state
                 m_sed[k] = np.asarray(st.m)
@@ -514,10 +535,11 @@ class LiteBlend:
                 vhat_sed[k] = np.maximum(np.asarray(st.vhat), 0)
             if isinstance(c._morph, AdaproxParameter):
                 st = c._morph.state
-                m_mor[k, dy:dy + h, dx:dx + w] = np.asarray(st.m)
-                v_mor[k, dy:dy + h, dx:dx + w] = np.asarray(st.v)
+                crop = (slice(cy, cy + h), slice(cx, cx + w))
+                m_mor[k, dy:dy + h, dx:dx + w] = np.asarray(st.m)[crop]
+                v_mor[k, dy:dy + h, dx:dx + w] = np.asarray(st.v)[crop]
                 vhat_mor[k, dy:dy + h, dx:dx + w] = np.maximum(
-                    np.asarray(st.vhat), 0)
+                    np.asarray(st.vhat)[crop], 0)
         self._engine_pads = pads
 
         data = engine.BlendData(
@@ -547,11 +569,21 @@ class LiteBlend:
     def _write_back(self, state):
         seds = np.asarray(state.seds)
         morphs = np.asarray(state.morphs)
-        sed_opt = jnp.asarray  # noqa: F841  (readability)
+
+        def embed(sub, cy, cx, h, w, h0, w0):
+            """Place the engine's (possibly cropped) box back into the
+            component's original box shape."""
+            if h0 == h and w0 == w:
+                return jnp.asarray(sub)
+            full = np.zeros((h0, w0), dtype=np.asarray(sub).dtype)
+            full[cy:cy + h, cx:cx + w] = np.asarray(sub)
+            return jnp.asarray(full)
+
         for k, c in enumerate(self.components):
-            dy, dx, h, w = self._engine_pads[k]
+            dy, dx, h, w, cy, cx, h0, w0 = self._engine_pads[k]
+            sl = (slice(dy, dy + h), slice(dx, dx + w))
             sed = seds[k]
-            morph = morphs[k, dy:dy + h, dx:dx + w]
+            morph = embed(morphs[k][sl], cy, cx, h, w, h0, w0)
             if isinstance(c._sed, LiteParameter):
                 c._sed.x = jnp.asarray(sed)
                 if isinstance(c._sed, AdaproxParameter):
@@ -561,15 +593,15 @@ class LiteBlend:
             else:
                 c._sed = jnp.asarray(sed)
             if isinstance(c._morph, LiteParameter):
-                c._morph.x = jnp.asarray(morph)
+                c._morph.x = morph
                 if isinstance(c._morph, AdaproxParameter):
-                    sl = (slice(dy, dy + h), slice(dx, dx + w))
                     c._morph.state = engine.AdaproxState(
-                        m=state.morph_opt.m[k][sl],
-                        v=state.morph_opt.v[k][sl],
-                        vhat=state.morph_opt.vhat[k][sl])
+                        m=embed(state.morph_opt.m[k][sl], cy, cx, h, w, h0, w0),
+                        v=embed(state.morph_opt.v[k][sl], cy, cx, h, w, h0, w0),
+                        vhat=embed(state.morph_opt.vhat[k][sl], cy, cx, h, w,
+                                   h0, w0))
             else:
-                c._morph = jnp.asarray(morph)
+                c._morph = morph
 
     def fit(self, max_iter, e_rel=1e-4, min_iter=1, resize=10, reweight=True):
         """Fit all components with the compiled engine.

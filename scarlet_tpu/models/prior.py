@@ -19,4 +19,5 @@ class Prior:
 
     def grad(self, *X):
         """Gradient of the prior log-likelihood; autodiff fallback."""
-        return jax.grad(self.__call__, argnums=tuple(range(len(X))))(*X)
+        g = jax.grad(self.__call__, argnums=tuple(range(len(X))))(*X)
+        return g[0] if len(X) == 1 else g

@@ -139,6 +139,19 @@ def good_fft_shape(im_or_shape1, im_or_shape2, padding=3, axes=None, use_max=Fal
     return tuple(int(s) for s in shape)
 
 
+def good_fft_shape_even(im_or_shape1, im_or_shape2, padding=3, axes=None,
+                        use_max=False):
+    """Like :func:`good_fft_shape` but with every transformed dimension
+    even — the TPU backend's FFT requires even sizes, and even/even padding
+    keeps the fftshift center conventions exact."""
+    shape = list(good_fft_shape(im_or_shape1, im_or_shape2, padding=padding,
+                                axes=axes, use_max=use_max))
+    for i in range(len(shape)):
+        while shape[i] % 2 != 0:
+            shape[i] = next_fast_len(shape[i] + 1)
+    return tuple(shape)
+
+
 def transform(image, fft_shape, axes=(-2, -1)):
     """rFFT of a centered image: pad -> ifftshift -> rfftn.
 

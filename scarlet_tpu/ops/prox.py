@@ -309,16 +309,18 @@ def build_prox_monotonic(shape, neighbor_weight="flat", min_gradient=0.1,
     cy, cx = int(center[0]), int(center[1])
     key = (tuple(shape), (cy, cx), neighbor_weight, float(min_gradient))
     try:
-        weights, n_iter = Cache.check("monotonic_weights", key)
+        weights_np, n_iter = Cache.check("monotonic_weights", key)
     except KeyError:
         weights_np = monotonic_weights(shape, neighbor_weight, center)
         n_iter = monotonic_depth(weights_np, shape, (cy, cx))
-        weights = jnp.asarray(weights_np)
-        Cache.set("monotonic_weights", key, (weights, n_iter))
+        # cache host (numpy) arrays only: device constants created inside a
+        # jit trace are trace-local and must not leak across traces
+        Cache.set("monotonic_weights", key, (weights_np, n_iter))
 
     def prox(X, step=0):
         return prox_weighted_monotonic(
-            X, weights, n_iter, min_gradient=min_gradient, center=(cy, cx)
+            X, jnp.asarray(weights_np), n_iter, min_gradient=min_gradient,
+            center=(cy, cx)
         )
 
     return prox

@@ -1,0 +1,15 @@
+"""Multi-blend batching and multi-chip sharding.
+
+The reference has no distributed layer (SURVEY.md §5.8); blends are
+mathematically independent, so the TPU scaling axes are (1) ``vmap`` over a
+batch of blends within a chip and (2) ``pjit`` sharding of that batch across
+the ICI mesh, with an optional band (channel) axis for model parallelism.
+"""
+from .batch import (  # noqa: F401
+    BatchConfig,
+    pack_batch,
+    replicate_blend,
+    fit_batch,
+    make_mesh,
+    shard_batch,
+)
