@@ -56,18 +56,23 @@ def main():
         config, data, state = blend.engine_setup(e_rel=1e-4)
     bdata, bstate = parallel.replicate_blend(data, state, batch)
 
+    import jax.numpy as jnp
+
+    def run():
+        out_state, losses = parallel.fit_batch(bstate, bdata, config, max_iter)
+        # synchronize via a value fetch: on the axon tunnel backend,
+        # block_until_ready returns before remote execution completes
+        sync = float(jnp.sum(out_state.last_loss))
+        return out_state, losses, sync
+
     # warmup: compile + one full run
-    out_state, losses = parallel.fit_batch(bstate, bdata, config, max_iter)
-    jax.block_until_ready(out_state)
+    out_state, losses, _ = run()
 
     t0 = time.perf_counter()
-    out_state, losses = parallel.fit_batch(bstate, bdata, config, max_iter)
-    jax.block_until_ready(out_state)
+    out_state, losses, _ = run()
     elapsed = time.perf_counter() - t0
 
     blends_per_min = batch / elapsed * 60.0
-    import jax.numpy as jnp
-
     try:
         final_logL = float(jnp.median(losses[-1]))
     except Exception:

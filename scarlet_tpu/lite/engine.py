@@ -77,6 +77,8 @@ class LiteFitConfig:
     min_gradient: float = 0.0
     neighbor_weight: str = "angle"
     mono_n_iter: int = 0          # filled in by monotonicity_tables
+    use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
+    pallas_interpret: bool = False
 
     @property
     def pad(self):
@@ -84,15 +86,21 @@ class LiteFitConfig:
 
 
 class BlendData(NamedTuple):
-    """Per-blend constants (batchable: add a leading axis + vmap)."""
+    """Per-blend constants (batchable: add a leading axis + vmap).
+
+    Kernel rFFTs are stored as stacked (real, imag) float arrays — the axon
+    TPU backend cannot transfer complex buffers host->device, and float
+    storage also shards/replicates uniformly; they are recombined to
+    complex inside the compiled step (one free elementwise op).
+    """
     images: jnp.ndarray          # (C, H, W)
     weights: jnp.ndarray         # (C, H, W)
-    kernel_rfft: Optional[jnp.ndarray]       # (C, fh, fw//2+1) or None
-    grad_kernel_rfft: Optional[jnp.ndarray]  # rFFT of the flipped kernel
+    kernel_rfft: Optional[jnp.ndarray]       # (2, C, fh, fw//2+1) re/im
+    grad_kernel_rfft: Optional[jnp.ndarray]  # (2, C, ...) flipped kernel
     bg_rms: jnp.ndarray          # (C,) noise RMS per band
     sed_step_min: jnp.ndarray    # (C,) minimum SED step
     mono_weights: jnp.ndarray    # (ncand, 8, Hb, Wb)
-    mono_keep: jnp.ndarray       # (ncand, Hb, Wb) bool: pixels never updated
+    mono_keep: jnp.ndarray       # (ncand, Hb, Wb) float 1.0 at frozen pixels
 
 
 class BlendState(NamedTuple):
@@ -130,8 +138,8 @@ def monotonicity_tables(box_shape, fit_center_radius=1, neighbor_weight="angle")
     for c in centers:
         w = prox_ops.monotonic_weights(box_shape, neighbor_weight, c)
         weights.append(w)
-        keep = np.zeros(box_shape, bool)
-        keep[c] = True
+        keep = np.zeros(box_shape, np.float32)
+        keep[c] = 1.0
         keeps.append(keep)
         n_iter = max(n_iter, prox_ops.monotonic_depth(w, box_shape, c))
     return np.stack(weights), np.stack(keeps), n_iter
@@ -145,10 +153,10 @@ def make_blend_data(images, weights, diff_kernel, bg_rms, config,
     weights = jnp.asarray(weights)
     if diff_kernel is not None:
         diff_kernel = jnp.asarray(diff_kernel)
-        kernel_rfft = fft_ops.transform(diff_kernel, config.fft_shape, (-2, -1))
-        grad_kernel_rfft = fft_ops.transform(
-            diff_kernel[..., ::-1, ::-1], config.fft_shape, (-2, -1)
-        )
+        kernel_rfft = _split_complex(
+            fft_ops.transform(diff_kernel, config.fft_shape, (-2, -1)))
+        grad_kernel_rfft = _split_complex(fft_ops.transform(
+            diff_kernel[..., ::-1, ::-1], config.fft_shape, (-2, -1)))
     else:
         kernel_rfft = grad_kernel_rfft = None
 
@@ -165,8 +173,8 @@ def make_blend_data(images, weights, diff_kernel, bg_rms, config,
         grad_kernel_rfft=grad_kernel_rfft,
         bg_rms=bg_rms,
         sed_step_min=jnp.asarray(sed_step_min),
-        mono_weights=jnp.asarray(mono_w),
-        mono_keep=jnp.asarray(mono_keep),
+        mono_weights=jnp.asarray(mono_w.astype(np.dtype(images.dtype))),
+        mono_keep=jnp.asarray(mono_keep.astype(np.dtype(images.dtype))),
     )
 
 
@@ -220,10 +228,21 @@ def make_scene(seds, morphs, origins, comp_active, config):
     return scene[:, P:P + H, P:P + W]
 
 
+def _split_complex(k):
+    """Complex array -> stacked (2, ...) float re/im."""
+    return jnp.stack([jnp.real(k), jnp.imag(k)])
+
+
+def _join_complex(k):
+    """Stacked (2, ...) float re/im -> complex."""
+    return jax.lax.complex(k[0], k[1])
+
+
 def _convolve(scene, kernel_rfft, config):
     if kernel_rfft is None:
         return scene
-    return fft_ops.convolve_fft(scene, kernel_rfft, config.fft_shape, (-2, -1))
+    return fft_ops.convolve_fft(scene, _join_complex(kernel_rfft),
+                                config.fft_shape, (-2, -1))
 
 
 def render(state, data, config):
@@ -234,47 +253,70 @@ def render(state, data, config):
 
 
 # ---------------------------------------------------------------------------
-# Morphology prox chain
+# Morphology prox chain (batched over all K components at once)
 # ---------------------------------------------------------------------------
-def _prox_morph(morph, sed, data, config):
+def _prox_morph_batched(morphs, seds, data, config):
     """Monotonicity -> background threshold (or positivity) -> center floor
-    -> max normalization.  Ref: lite/models.py:224-244."""
+    -> max normalization, over the (K, Hb, Wb) component stack.
+
+    Ref: lite/models.py:224-244.  The monotonicity projection runs either as
+    the VMEM-resident Pallas kernel (TPU) or as fused XLA Jacobi passes.
+    """
+    K = morphs.shape[0]
     Hb, Wb = config.box_shape
     bc = (Hb // 2, Wb // 2)
     r = config.fit_center_radius
 
-    # select the monotonicity table for the brightest pixel near the center
+    # select the monotonicity table for the brightest pixel near each center
     if r > 0:
-        window = morph[bc[0] - r:bc[0] + r + 1, bc[1] - r:bc[1] + r + 1]
-        idx = jnp.argmax(window)
+        windows = morphs[:, bc[0] - r:bc[0] + r + 1,
+                         bc[1] - r:bc[1] + r + 1].reshape(K, -1)
+        idx = jnp.argmax(windows, axis=1).astype(jnp.int32)
     else:
-        idx = 0
-    w = data.mono_weights[idx]
-    keep = data.mono_keep[idx]
-    scale = 1.0 - config.min_gradient
+        idx = jnp.zeros((K,), jnp.int32)
 
-    X0 = morph
+    if config.use_pallas:
+        from ..ops.pallas_kernels import batched_monotonic_prox
 
-    def body(_, x):
-        ref = jnp.zeros_like(x)
-        for d, (dy, dx) in enumerate(prox_ops.NEIGHBOR_OFFSETS):
-            ref = ref + w[d] * prox_ops._shifted(x, dy, dx)
-        return jnp.where(keep, X0, jnp.minimum(X0, ref * scale))
+        morphs = batched_monotonic_prox(
+            morphs, idx, data.mono_weights, data.mono_keep,
+            config.mono_n_iter, config.min_gradient,
+            interpret=config.pallas_interpret)
+    else:
+        w = data.mono_weights[idx]       # (K, 8, Hb, Wb)
+        keep = data.mono_keep[idx] > 0.5
+        scale = 1.0 - config.min_gradient
+        X0 = morphs
 
-    morph = jax.lax.fori_loop(0, config.mono_n_iter, body, X0)
+        def body(_, x):
+            ref = jnp.zeros_like(x)
+            for d, (dy, dx) in enumerate(prox_ops.NEIGHBOR_OFFSETS):
+                ref = ref + w[:, d] * _shift_batch(x, dy, dx)
+            return jnp.where(keep, X0, jnp.minimum(X0, ref * scale))
+
+        morphs = jax.lax.fori_loop(0, config.mono_n_iter, body, X0)
 
     if config.bg_thresh is not None:
-        model = sed[:, None, None] * morph[None]
+        model = seds[:, :, None, None] * morphs[:, None]
         cut = jnp.all(
-            model < (config.bg_thresh * data.bg_rms)[:, None, None], axis=0
-        )
-        morph = jnp.where(cut, 0.0, morph)
+            model < (config.bg_thresh * data.bg_rms)[None, :, None, None],
+            axis=1)
+        morphs = jnp.where(cut, 0.0, morphs)
     else:
-        morph = jnp.maximum(morph, 0.0)
+        morphs = jnp.maximum(morphs, 0.0)
 
-    center_val = jnp.maximum(morph[bc], config.floor)
-    morph = morph.at[bc].set(center_val)
-    return morph / jnp.max(morph)
+    center_val = jnp.maximum(morphs[:, bc[0], bc[1]], config.floor)
+    morphs = morphs.at[:, bc[0], bc[1]].set(center_val)
+    return morphs / jnp.max(morphs, axis=(-2, -1), keepdims=True)
+
+
+def _shift_batch(x, dy, dx):
+    """n[., y, x] = X[., y+dy, x+dx], zero outside (batched leading axis)."""
+    pad = ((0, 0), (max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
+    padded = jnp.pad(x, pad)
+    H, W = x.shape[-2:]
+    y0, x0 = max(0, dy), max(0, dx)
+    return padded[..., y0:y0 + H, x0:x0 + W]
 
 
 # ---------------------------------------------------------------------------
@@ -333,18 +375,25 @@ def fit_step(state, data, config):
     )
 
     # --- morphology update (constant step; prox chain applied with the
-    #     *new* SED, matching lite/models.py:246-252) ---
-    def update_morph(morph, g, opt, new_sed, on):
+    #     *new* SED, matching lite/models.py:246-252).  The gradient step
+    #     runs vmapped per component; the prox chain runs batched over the
+    #     whole component stack so the monotonicity kernel sees one call.
+    def update_morph(morph, g, opt):
         return adaprox_step(
-            morph, g, it, opt, config.morph_step,
-            prox=lambda x, s: _prox_morph(x, new_sed, data, config),
+            morph, g, it, opt, config.morph_step, prox=None,
             scheme=config.scheme, b1=config.b1, b2=config.b2, eps=config.eps,
             p=config.p, max_prox_iter=config.max_prox_iter,
-            active=active & on,
         )
 
-    new_morphs, new_morph_opt = jax.vmap(update_morph)(
-        state.morphs, g_morphs, state.morph_opt, new_seds, state.comp_active
+    stepped_morphs, new_morph_opt = jax.vmap(update_morph)(
+        state.morphs, g_morphs, state.morph_opt
+    )
+    proxed_morphs = _prox_morph_batched(stepped_morphs, new_seds, data, config)
+    gate = (active & state.comp_active)[:, None, None]
+    new_morphs = jnp.where(gate, proxed_morphs, state.morphs)
+    new_morph_opt = jax.tree.map(
+        lambda new, old: jnp.where(gate, new, old),
+        new_morph_opt, state.morph_opt,
     )
 
     # --- convergence: |dL| < e_rel |L| after min_iter (lite/models.py:618) ---

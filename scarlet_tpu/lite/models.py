@@ -485,6 +485,8 @@ class LiteBlend:
         mono_w, mono_keep, mono_n_iter = engine.monotonicity_tables(
             box_shape, fc_radius, "angle")
 
+        import jax as _jax
+
         config = engine.LiteFitConfig(
             scene_shape=(C, H, W),
             box_shape=box_shape,
@@ -496,6 +498,9 @@ class LiteBlend:
             min_iter=min_iter,
             fit_center_radius=fc_radius,
             mono_n_iter=mono_n_iter,
+            # VMEM-resident monotonicity kernel on accelerators; the fused
+            # XLA path on CPU
+            use_pallas=_jax.default_backend() != "cpu",
         )
 
         dtype = np.asarray(obs.images).dtype
@@ -545,11 +550,13 @@ class LiteBlend:
         data = engine.BlendData(
             images=obs.images,
             weights=obs.weights,
-            kernel_rfft=None if diff_kernel is None else fft_ops.transform(
-                jnp.asarray(diff_kernel), fft_shape, (-2, -1)),
+            kernel_rfft=None if diff_kernel is None else engine._split_complex(
+                fft_ops.transform(jnp.asarray(diff_kernel), fft_shape,
+                                  (-2, -1))),
             grad_kernel_rfft=None if diff_kernel is None else
-            fft_ops.transform(
-                jnp.asarray(diff_kernel)[..., ::-1, ::-1], fft_shape, (-2, -1)),
+            engine._split_complex(fft_ops.transform(
+                jnp.asarray(diff_kernel)[..., ::-1, ::-1], fft_shape,
+                (-2, -1))),
             bg_rms=obs.noise_rms,
             sed_step_min=obs.noise_rms / 10.0,
             mono_weights=jnp.asarray(mono_w.astype(dtype)),

@@ -1,0 +1,95 @@
+"""Pallas TPU kernels for the hot proximal operators.
+
+The monotonicity projection is the dominant cost of the batched fit: the
+XLA formulation re-reads the morphology stack from HBM for each of the
+``n_iter`` Jacobi passes (8 shifted multiply-adds each), making it
+HBM-bound.  The Pallas kernel below keeps each morphology resident in VMEM
+for the whole fixed-point iteration — one HBM read and one write per
+morphology regardless of depth — turning the prox into pure VPU work.
+
+Shifted neighbors use circular ``pltpu.roll``; wrap-around contributions
+are annihilated by the weight tables, which are zero wherever the neighbor
+is out of bounds (see ops/prox.py:monotonic_weights).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .prox import NEIGHBOR_OFFSETS
+
+__all__ = ["batched_monotonic_prox"]
+
+
+def _roll2(x, dy, dx):
+    """n[y, x] = X[y+dy, x+dx] with circular wrap (weights kill the wrap).
+
+    pltpu.roll requires non-negative shifts; a shift of -s along an axis of
+    size n equals a shift of n - s.
+    """
+    H, W = x.shape
+    out = pltpu.roll(x, (-dy) % H, 0) if dy else x
+    out = pltpu.roll(out, (-dx) % W, 1) if dx else out
+    return out
+
+
+def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, *, n_iter,
+                 scale):
+    k = pl.program_id(0)
+    ci = idx_ref[k]
+    x0 = x_ref[0]
+    w = wtab_ref[ci]          # (8, Hb, Wb) selected candidate table
+    keep = keep_ref[ci]       # (Hb, Wb) float mask: 1 at the center pixel
+
+    def body(_, x):
+        ref = w[0] * _roll2(x, *NEIGHBOR_OFFSETS[0])
+        for d in range(1, 8):
+            ref = ref + w[d] * _roll2(x, *NEIGHBOR_OFFSETS[d])
+        new = jnp.minimum(x0, ref * scale)
+        return keep * x0 + (1.0 - keep) * new
+
+    out_ref[0] = jax.lax.fori_loop(0, n_iter, body, x0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "min_gradient",
+                                             "interpret"))
+def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
+                           min_gradient=0.0, interpret=False):
+    """Radially monotonic projection of a stack of morphologies.
+
+    Parameters
+    ----------
+    morphs: (K, Hb, Wb) float32 — input morphologies
+    idx: (K,) int32 — candidate-center index per morphology
+    weights_table: (ncand, 8, Hb, Wb) float32
+    keep_table: (ncand, Hb, Wb) float32 — 1.0 at the (never-updated) center
+    n_iter: static int — Jacobi passes (the DAG depth for exactness)
+
+    Equivalent to ``prox_weighted_monotonic`` per slice with the selected
+    weight table; exact for ``n_iter >= monotonic_depth``.
+    """
+    K, Hb, Wb = morphs.shape
+    kernel = functools.partial(_mono_kernel, n_iter=n_iter,
+                               scale=1.0 - min_gradient)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, Hb, Wb), lambda k, idx: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full weights table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # full keep table
+        ],
+        out_specs=pl.BlockSpec((1, Hb, Wb), lambda k, idx: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, Hb, Wb), morphs.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, morphs, weights_table, keep_table)

@@ -109,8 +109,8 @@ def shard_batch(data, state, mesh, shard_bands=False):
     data = engine.BlendData(
         images=put(data.images, 1),
         weights=put(data.weights, 1),
-        kernel_rfft=put(data.kernel_rfft, 1),
-        grad_kernel_rfft=put(data.grad_kernel_rfft, 1),
+        kernel_rfft=put(data.kernel_rfft, 2),       # (B, 2, C, ...)
+        grad_kernel_rfft=put(data.grad_kernel_rfft, 2),
         bg_rms=put(data.bg_rms, 1),
         sed_step_min=put(data.sed_step_min, 1),
         mono_weights=put(data.mono_weights),
