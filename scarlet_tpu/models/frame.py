@@ -29,9 +29,9 @@ class Frame:
         self.channels = channels
 
         if wcs is not None:
-            import astropy.wcs
-
-            assert isinstance(wcs, astropy.wcs.WCS)
+            # duck-typed: astropy.wcs.WCS or scarlet_tpu.utils.AffineWCS
+            assert hasattr(wcs, "pixel_to_world_values") or \
+                hasattr(wcs, "celestial"), f"not a WCS: {type(wcs)}"
             self.wcs = wcs
         else:
             self.wcs = None
@@ -105,10 +105,8 @@ class Frame:
             y, x = np.indices(self.shape[-2:], dtype=np.float64)
             pixel = np.stack((y.flatten(), x.flatten()), axis=1)
         ra_dec = self.get_sky_coord(pixel)
-        pixel_ = target.get_pixel(ra_dec)
-        if pixel_.size == 2:
-            return pixel_[0]
-        return pixel_
+        # get_pixel already squeezes a single coordinate pair to shape (2,)
+        return target.get_pixel(ra_dec)
 
     @staticmethod
     def from_observations(observations, model_psf=None, model_wcs=None,

@@ -230,11 +230,15 @@ def get_affine(wcs):
 
 
 def get_pixel_size(model_affine):
-    """Geometric pixel scale from an affine matrix. Ref: interpolation.py:387-394."""
-    return np.sqrt(
-        np.abs(model_affine[0, 0])
-        * np.abs(model_affine[1, 1] - model_affine[0, 1] * model_affine[1, 0])
-    )
+    """Geometric pixel scale: sqrt of the Jacobian determinant.
+
+    Ref: interpolation.py:387-394 — note the reference uses
+    ``sqrt(|m00| * |m11 - m01*m10|)``, which underestimates the scale of
+    rotated grids by cos(theta) (and mixes deg with deg^2 terms); the
+    determinant is the correct pixel area for any orientation.
+    """
+    model_affine = np.asarray(model_affine)
+    return np.sqrt(np.abs(np.linalg.det(model_affine[:2, :2])))
 
 
 def get_angles(frame_wcs, model_wcs):

@@ -38,7 +38,11 @@ class AffineWCS:
 
     def __init__(self, crpix, crval, pc, cdelt, ctype=("RA---TAN", "DEC--TAN"),
                  array_shape=None):
-        self.wcs = _WCSParams(crpix, crval, pc, cdelt, ctype)
+        # fold cdelt into pc (CD-matrix style), matching astropy's behavior
+        # for CD-defined WCS: framework code reads `wcs.wcs.pc` as the full
+        # affine (see ops/interpolation.get_affine)
+        pc = np.asarray(pc, float) * np.asarray(cdelt, float)[:, None]
+        self.wcs = _WCSParams(crpix, crval, pc, np.ones(2), ctype)
         self.array_shape = array_shape
 
     # astropy API surface ---------------------------------------------------
