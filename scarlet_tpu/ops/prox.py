@@ -410,7 +410,8 @@ def _interpolate_orphans(all_i, all_j, unchecked, model, orphans, variance, boun
 def prox_monotonic_mask(X, step=0, center=None, center_radius=1, variance=0.0,
                         max_iter=3):
     """Keep only pixels reachable monotonically from the center; returns
-    ``(valid, model, bounds)``.  Host-side numpy (init-time use).
+    ``(valid, model, bounds)``.  Host-side (init-time use); uses the native
+    C++ flood fill when available (scarlet_tpu.native), numpy otherwise.
 
     Ref: scarlet/operator.py:132-180.
     """
@@ -421,6 +422,28 @@ def prox_monotonic_mask(X, step=0, center=None, center_radius=1, variance=0.0,
         i, j = get_center(X, center, center_radius)
     else:
         i, j = int(np.round(center[0])), int(np.round(center[1]))
+
+    from .. import native
+
+    if native.available():
+        unchecked = np.ones(X.shape, dtype=np.uint8)
+        unchecked[i, j] = 0
+        orphans = np.zeros(X.shape, dtype=np.uint8)
+        bounds = np.array([i, i, j, j], dtype=np.int32)
+        X32 = np.ascontiguousarray(X, np.float32)
+        native.get_valid_monotonic_pixels(X32, i, j, unchecked, orphans,
+                                          variance, bounds)
+        model = X32.copy()
+        it = 0
+        while np.sum((orphans > 0) & (unchecked > 0)) > 0 and it < max_iter:
+            it += 1
+            all_i, all_j = np.where(orphans > 0)
+            native.linear_interpolate_invalid_pixels(
+                all_i, all_j, unchecked, model, orphans, variance, True,
+                bounds)
+        valid = (unchecked == 0) & (orphans == 0)
+        return valid, (model * valid).astype(X.dtype), bounds
+
     unchecked = np.ones(X.shape, dtype=bool)
     unchecked[i, j] = False
     orphans = np.zeros(X.shape, dtype=bool)

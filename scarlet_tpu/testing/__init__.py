@@ -1,0 +1,12 @@
+"""Regression/benchmark harness.
+
+Mirrors the reference's scarlet/testing package (api.py, deblend.py,
+measure.py, aws.py, settings.py) with local-filesystem storage instead of
+AWS DynamoDB/S3: records land as JSON under ``.regression/<branch>/`` and
+residual images as npz alongside.
+"""
+from . import settings  # noqa: F401
+from .deblend import deblend  # noqa: F401
+from .measure import measurements, mag_diff  # noqa: F401
+from .store import save_records, load_records, save_residuals  # noqa: F401
+from .api import deblend_and_measure, bundled_blends  # noqa: F401

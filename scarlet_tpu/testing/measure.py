@@ -1,0 +1,53 @@
+"""Regression metrics. Ref: scarlet/testing/measure.py (metric registry at
+234-246, per-band magnitude error vs truth at 62-76)."""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import measure as measure_mod
+
+__all__ = ["measurements", "mag_diff"]
+
+# metric registry (name -> description); ref: testing/measure.py:234-246
+measurements = {
+    "init time": "Initialization time (ms per blend)",
+    "runtime": "Fit runtime (ms per source)",
+    "total runtime": "Total fit runtime (s per blend)",
+    "iterations": "Iterations to convergence (cap 100)",
+    "init logL": "log-likelihood after initialization",
+    "logL": "final log-likelihood",
+    "g diff": "magnitude error (g)",
+    "r diff": "magnitude error (r)",
+    "i diff": "magnitude error (i)",
+    "z diff": "magnitude error (z)",
+    "y diff": "magnitude error (y)",
+}
+
+
+def mag_diff(truth_flux, model_flux, zero_point=27.0):
+    """Per-band magnitude difference between truth and model fluxes.
+
+    Ref: testing/measure.py:62-76.
+    """
+    truth_flux = np.maximum(np.asarray(truth_flux, float), 1e-12)
+    model_flux = np.maximum(np.asarray(model_flux, float), 1e-12)
+    m_true = zero_point - 2.5 * np.log10(truth_flux)
+    m_model = zero_point - 2.5 * np.log10(model_flux)
+    return m_model - m_true
+
+
+def measure_sources(sources, catalog, channels):
+    """Per-source flux and per-band magnitude error vs catalog truth
+    (when the catalog carries intensity_<band> truth images)."""
+    records = []
+    for src, row in zip(sources, catalog):
+        flux = np.asarray(measure_mod.flux(src))
+        rec = {"flux": flux.tolist()}
+        names = [f"intensity_{c}" for c in channels]
+        if all(n in row.dtype.names for n in names):
+            truth = np.array([row[n].sum() for n in names])
+            diff = mag_diff(truth, flux)
+            for c, d in zip(channels, diff):
+                rec[f"{c} diff"] = float(d)
+        records.append(rec)
+    return records

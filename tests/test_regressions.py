@@ -1,0 +1,31 @@
+"""Local regression harness smoke test (the reference's AWS-gated
+test_regressions.py equivalent, runnable locally)."""
+import numpy as np
+
+from scarlet_tpu import testing as harness
+
+
+def test_deblend_and_measure(tmp_path):
+    results = harness.deblend_and_measure(
+        set_ids=(2,), save=True, save_images=True, branch="test",
+        root=tmp_path)
+    records = results[2]
+    assert len(records) == 1
+    rec = records[0]
+    assert rec["iterations"] > 1
+    assert np.isfinite(rec["logL"])
+    assert rec["logL"] > rec["init logL"]
+    assert rec["n_sources"] == 7
+    # per-source magnitude errors vs the sim truth within 0.75 mag
+    diffs = [
+        s[f"{c} diff"] for s in rec["sources"]
+        for c in "ugrizy" if f"{c} diff" in s
+    ]
+    assert len(diffs) > 0
+    assert np.median(np.abs(diffs)) < 0.75
+
+    # records and residuals were stored
+    stored = harness.load_records(2, branch="test", root=tmp_path)
+    assert len(stored) == 1
+    residuals = list((tmp_path / "test" / "residuals").glob("*.npz"))
+    assert len(residuals) == 1
