@@ -44,6 +44,7 @@ __all__ = [
     "build_prox_monotonic",
     "get_center",
     "prox_monotonic_mask",
+    "prox_cone",
     "prox_sdss_symmetry",
     "prox_soft_symmetry",
     "prox_kspace_symmetry",
@@ -51,6 +52,7 @@ __all__ = [
     "uncentered_operator",
     "project_disk_sed",
     "project_disk_sed_mean",
+    "proximal_disk_sed",
 ]
 
 # 8-neighbor offsets in the reference's order (operator.py:84).
@@ -566,6 +568,72 @@ def prox_uncentered_symmetry(X, step=0, center=None, algorithm="kspace",
 
 
 # ---------------------------------------------------------------------------
+# Cone projection (host-side, specialty). Ref: operator.py:183-204, 403-447.
+# ---------------------------------------------------------------------------
+def _proj(A, B):
+    """Projection of A onto the hyperplane defined by B."""
+    return A - (A * B).sum() * B / (B ** 2).sum()
+
+
+def _proj_dist(A, B):
+    """Length of the projection of A onto B."""
+    return (A * B).sum() / (B ** 2).sum() ** 0.5
+
+
+def _use_relevant_dim(Y, Q, Vs, index):
+    projector = Vs[index]
+    del Vs[index]
+    Y = _proj(Y, projector)
+    Q = _proj(Y, projector)
+    for i in range(len(Vs)):
+        Vs[i] = _proj(Vs[i], projector)
+    return Y, Q, Vs
+
+
+def _find_relevant_dim(Y, Q, Vs):
+    max_t = 0
+    index = -1
+    for i in range(len(Vs)):
+        Y_p = _proj_dist(Y, Vs[i])
+        Q_p = _proj_dist(Q, Vs[i])
+        if Y_p < 0 and Q_p != Y_p:
+            t = -Y_p / (Q_p - Y_p)
+        else:
+            t = -2
+        if t > max_t:
+            max_t = t
+            index = i
+    return index
+
+
+def _find_Q(Vs, n):
+    res = np.zeros(n)
+    res[int((n - 1) / 2)] = n
+    return res
+
+
+def prox_cone(X, step=0, G=None):
+    """Exact projection of the rows of X onto the cone {x : Gx >= 0}.
+
+    Ref: operator.py:183-204.
+    """
+    X = np.array(X, copy=True)
+    k, n = X.shape
+    for i in range(k):
+        Y = X[i]
+        Vs = [G[j] for j in range(n)]
+        Q = _find_Q(Vs, n)
+        for _ in range(n):
+            index = _find_relevant_dim(Y, Q, Vs)
+            if index != -1:
+                Y, Q, Vs = _use_relevant_dim(Y, Q, Vs, index)
+            else:
+                break
+        X[i] = Y
+    return X
+
+
+# ---------------------------------------------------------------------------
 # Bulge/disk SED projections (host-side, specialty)
 # ---------------------------------------------------------------------------
 def project_disk_sed_mean(bulge_sed, disk_sed):
@@ -596,3 +664,16 @@ def project_disk_sed(bulge_sed, disk_sed):
             new_sed[s] = new_sed[s] + diff[s - 1]
             diff[s] = diff[s - 1]
     return new_sed
+
+
+def proximal_disk_sed(X, step, peaks, algorithm=project_disk_sed_mean):
+    """Make each disk SED bluer than its bulge SED, then project to the
+    unit simplex.  Ref: operator.py:500-509.
+    """
+    X = np.array(X, copy=True)
+    for peak in peaks.peaks:
+        if "disk" in peak.components and "bulge" in peak.components:
+            bulge_k = peak["bulge"].index
+            disk_k = peak["disk"].index
+            X[:, disk_k] = algorithm(X[:, bulge_k], X[:, disk_k])
+    return np.asarray(prox_unity_plus(jnp.asarray(X), step, axis=0))
