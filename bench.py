@@ -59,9 +59,11 @@ def main():
     import jax.numpy as jnp
 
     def run():
-        out_state, losses = parallel.fit_batch(bstate, bdata, config, max_iter)
-        # synchronize via a value fetch: on the axon tunnel backend,
-        # block_until_ready returns before remote execution completes
+        # converged early-exit in 10-iteration compiled segments (the
+        # reference's e_rel stop, batched); value fetches synchronize — on
+        # the axon tunnel backend block_until_ready returns early
+        out_state, losses = parallel.fit_batch_converged(
+            bstate, bdata, config, max_iter, segment=10)
         sync = float(jnp.sum(out_state.last_loss))
         return out_state, losses, sync
 
@@ -78,8 +80,10 @@ def main():
     except Exception:
         final_logL = float("nan")
 
+    n_ran = int(losses.shape[0])
     result = {
-        "metric": "HSC 5-band blends deblended/min (100-iter adaprox fit, "
+        "metric": "HSC 5-band blends deblended/min (adaprox fit to "
+                  f"e_rel=1e-4, cap {max_iter}, ran {n_ran} iters, "
                   f"batch={batch}, final_logL={final_logL:.1f})",
         "value": round(blends_per_min, 1),
         "unit": "blends/min",

@@ -79,9 +79,14 @@ class LiteFitConfig:
     mono_n_iter: int = 0          # filled in by monotonicity_tables
     use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
     pallas_interpret: bool = False
+    scene_pad: int = -1           # -1: one full box (always safe)
 
     @property
     def pad(self):
+        """Scene padding for exact clipped-overlap scatter-adds: must cover
+        the largest out-of-scene box overhang."""
+        if self.scene_pad >= 0:
+            return self.scene_pad
         return max(self.box_shape)
 
 
@@ -215,16 +220,16 @@ def make_scene(seds, morphs, origins, comp_active, config):
 
     zero = jnp.asarray(0, jnp.int32)
 
-    def body(scene, inp):
-        sed, morph, origin, on = inp
-        model = (sed[:, None, None] * morph[None]) * on
-        oy = origin[0] + P
-        ox = origin[1] + P
+    # unrolled over the (small, static) component count: XLA updates the
+    # scene windows in place without scan carry copies
+    K = seds.shape[0]
+    for k in range(K):
+        model = (seds[k][:, None, None] * morphs[k][None]) * comp_active[k]
+        oy = origins[k, 0] + P
+        ox = origins[k, 1] + P
         cur = jax.lax.dynamic_slice(scene, (zero, oy, ox), (C, Hb, Wb))
-        scene = jax.lax.dynamic_update_slice(scene, cur + model, (zero, oy, ox))
-        return scene, None
-
-    scene, _ = jax.lax.scan(body, scene, (seds, morphs, origins, comp_active))
+        scene = jax.lax.dynamic_update_slice(scene, cur + model,
+                                             (zero, oy, ox))
     return scene[:, P:P + H, P:P + W]
 
 

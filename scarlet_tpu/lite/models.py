@@ -487,22 +487,6 @@ class LiteBlend:
 
         import jax as _jax
 
-        config = engine.LiteFitConfig(
-            scene_shape=(C, H, W),
-            box_shape=box_shape,
-            n_components=K,
-            fft_shape=fft_shape,
-            floor=floor,
-            bg_thresh=bg_thresh,
-            e_rel=e_rel,
-            min_iter=min_iter,
-            fit_center_radius=fc_radius,
-            mono_n_iter=mono_n_iter,
-            # VMEM-resident monotonicity kernel on accelerators; the fused
-            # XLA path on CPU
-            use_pallas=_jax.default_backend() != "cpu",
-        )
-
         dtype = np.asarray(obs.images).dtype
         seds = np.zeros((K, C), dtype=dtype)
         morphs = np.zeros((K, Hb, Hb), dtype=dtype)
@@ -546,6 +530,32 @@ class LiteBlend:
                 vhat_mor[k, dy:dy + h, dx:dx + w] = np.maximum(
                     np.asarray(st.vhat)[crop], 0)
         self._engine_pads = pads
+
+        # exact scene padding: largest padded-box overhang past the scene
+        # edges (+1 so dynamic_update_slice never clamps)
+        scene_pad = min(int(max(
+            1,
+            -origins.min(initial=0),
+            (origins[:, 0] + Hb - H).max(initial=0),
+            (origins[:, 1] + Hb - W).max(initial=0),
+        )) + 1, Hb)
+
+        config = engine.LiteFitConfig(
+            scene_shape=(C, H, W),
+            box_shape=box_shape,
+            n_components=K,
+            fft_shape=fft_shape,
+            floor=floor,
+            bg_thresh=bg_thresh,
+            e_rel=e_rel,
+            min_iter=min_iter,
+            fit_center_radius=fc_radius,
+            mono_n_iter=mono_n_iter,
+            # VMEM-resident monotonicity kernel on accelerators; the fused
+            # XLA path on CPU
+            use_pallas=_jax.default_backend() != "cpu",
+            scene_pad=scene_pad,
+        )
 
         data = engine.BlendData(
             images=obs.images,

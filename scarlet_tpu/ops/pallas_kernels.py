@@ -37,13 +37,26 @@ def _roll2(x, dy, dx):
     return out
 
 
-def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, *, n_iter,
-                 scale):
+def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
+                 keepsel_ref, *, n_iter, scale, group, Wb):
+    """One grid step processes ``group`` morphologies packed side by side
+    along the lane axis as (Hb, group*Wb): every Jacobi pass is 8 rolls of
+    one wide 2D array (full VPU lane utilization).  Rolls leak across morph
+    boundaries and wrap around edges, but both land on pixels whose
+    corresponding neighbor weight is zero (out-of-bounds neighbors),
+    exactly like the circular-wrap argument for a single morphology.
+
+    Per-morph candidate weight tables are gathered into VMEM scratch once
+    per group, amortized over all passes."""
     k = pl.program_id(0)
-    ci = idx_ref[k]
+    for g in range(group):
+        ci = idx_ref[k * group + g]
+        wsel_ref[:, :, g * Wb:(g + 1) * Wb] = wtab_ref[ci]
+        keepsel_ref[:, g * Wb:(g + 1) * Wb] = keep_ref[ci]
+
     x0 = x_ref[0]
-    w = wtab_ref[ci]          # (8, Hb, Wb) selected candidate table
-    keep = keep_ref[ci]       # (Hb, Wb) float mask: 1 at the center pixel
+    w = wsel_ref[:]
+    keep = keepsel_ref[:]
 
     def body(_, x):
         ref = w[0] * _roll2(x, *NEIGHBOR_OFFSETS[0])
@@ -56,9 +69,9 @@ def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, *, n_iter,
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "min_gradient",
-                                             "interpret"))
+                                             "interpret", "group"))
 def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
-                           min_gradient=0.0, interpret=False):
+                           min_gradient=0.0, interpret=False, group=8):
     """Radially monotonic projection of a stack of morphologies.
 
     Parameters
@@ -68,28 +81,50 @@ def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
     weights_table: (ncand, 8, Hb, Wb) float32
     keep_table: (ncand, Hb, Wb) float32 — 1.0 at the (never-updated) center
     n_iter: static int — Jacobi passes (the DAG depth for exactness)
+    group: static int — morphologies per grid step (batched rolls)
 
     Equivalent to ``prox_weighted_monotonic`` per slice with the selected
     weight table; exact for ``n_iter >= monotonic_depth``.
     """
     K, Hb, Wb = morphs.shape
+    group = max(1, min(group, K))
+    K_pad = -(-K // group) * group
+    if K_pad != K:
+        morphs = jnp.concatenate(
+            [morphs, jnp.zeros((K_pad - K, Hb, Wb), morphs.dtype)])
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((K_pad - K,), idx.dtype)])
+
+    n_groups = K_pad // group
+    # pack each group side-by-side along lanes: (n_groups, Hb, group*Wb)
+    packed = morphs.reshape(n_groups, group, Hb, Wb)
+    packed = jnp.swapaxes(packed, 1, 2).reshape(n_groups, Hb, group * Wb)
+
     kernel = functools.partial(_mono_kernel, n_iter=n_iter,
-                               scale=1.0 - min_gradient)
+                               scale=1.0 - min_gradient, group=group, Wb=Wb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(K,),
+        grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, Hb, Wb), lambda k, idx: (k, 0, 0),
+            pl.BlockSpec((1, Hb, group * Wb), lambda k, idx: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full weights table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full keep table
         ],
-        out_specs=pl.BlockSpec((1, Hb, Wb), lambda k, idx: (k, 0, 0),
+        out_specs=pl.BlockSpec((1, Hb, group * Wb), lambda k, idx: (k, 0, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, Hb, group * Wb), morphs.dtype),
+            pltpu.VMEM((Hb, group * Wb), morphs.dtype),
+        ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((K, Hb, Wb), morphs.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_groups, Hb, group * Wb),
+                                       morphs.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx, morphs, weights_table, keep_table)
+    )(idx, packed, weights_table, keep_table)
+    out = out.reshape(n_groups, Hb, group, Wb)
+    out = jnp.swapaxes(out, 1, 2).reshape(K_pad, Hb, Wb)
+    return out[:K]

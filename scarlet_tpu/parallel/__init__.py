@@ -10,6 +10,7 @@ from .batch import (  # noqa: F401
     pack_batch,
     replicate_blend,
     fit_batch,
+    fit_batch_converged,
     make_mesh,
     shard_batch,
 )

@@ -73,6 +73,27 @@ def fit_batch(state, data, config, n_iter):
     return jax.lax.scan(body, state, None, length=n_iter)
 
 
+def fit_batch_converged(state, data, config, max_iter, segment=10):
+    """Fit until every blend in the batch converges (or ``max_iter``),
+    checking between compiled ``segment``-iteration scans.
+
+    Converged blends freeze through the ``active`` mask either way; this
+    just stops paying for iterations once the whole batch is done —
+    the batched analog of the reference's per-blend e_rel stop.
+    Returns (final_state, losses (<=max_iter, B)).
+    """
+    losses = []
+    done = 0
+    while done < max_iter:
+        n = min(segment, max_iter - done)
+        state, seg_losses = fit_batch(state, data, config, n)
+        losses.append(seg_losses)
+        done += n
+        if not bool(jnp.any(state.active)):
+            break
+    return state, jnp.concatenate(losses, axis=0)
+
+
 def make_mesh(n_devices=None, bands=1, devices=None):
     """Build a ("blends", "bands") mesh over the available devices."""
     if devices is None:
