@@ -61,6 +61,7 @@ class LiteFitConfig:
     box_shape: tuple              # (Hb, Wb), odd
     n_components: int             # K
     fft_shape: Optional[tuple]    # spatial FFT shape; None = no convolution
+    optimizer: str = "adaprox"    # "adaprox" | "fista"
     scheme: str = "amsgrad"
     b1: float = 0.9
     b2: float = 0.999
@@ -106,6 +107,7 @@ class BlendData(NamedTuple):
     sed_step_min: jnp.ndarray    # (C,) minimum SED step
     mono_weights: jnp.ndarray    # (ncand, 8, Hb, Wb)
     mono_keep: jnp.ndarray       # (ncand, Hb, Wb) float 1.0 at frozen pixels
+    fista_step: Optional[jnp.ndarray] = None  # (K,) base FISTA steps
 
 
 class BlendState(NamedTuple):
@@ -362,42 +364,91 @@ def fit_step(state, data, config):
     it = state.it
     active = state.active
 
-    # --- SED update (relative step with a noise-floor minimum,
-    #     lite/initialization.py:275-279) ---
-    def update_sed(sed, g, opt, on):
-        step = jnp.maximum(data.sed_step_min,
-                           config.sed_step_factor * jnp.mean(sed))
-        return adaprox_step(
-            sed, g, it, opt, step,
-            prox=lambda x, s: jnp.maximum(x, config.floor),
-            scheme=config.scheme, b1=config.b1, b2=config.b2, eps=config.eps,
-            p=config.p, max_prox_iter=config.max_prox_iter,
-            active=active & on,
+    if config.optimizer == "fista":
+        # FISTA steps scale by the squared norm of the other factor
+        # (lite/parameters.py:133-146)
+        from ..optim import fista_step
+
+        def update_sed(sed, g, opt, base, morph):
+            step = base / jnp.maximum(jnp.sum(morph * morph), 1e-12)
+            return fista_step(
+                sed, g, it, opt, step,
+                prox=lambda x, s: jnp.maximum(x, config.floor))
+
+        new_seds, new_sed_opt = jax.vmap(update_sed)(
+            state.seds, g_seds, state.sed_opt, data.fista_step, state.morphs)
+        gate_sed = (active & state.comp_active)[:, None]
+        new_seds = jnp.where(gate_sed, new_seds, state.seds)
+        new_sed_opt = jax.tree.map(
+            lambda new, old: jnp.where(
+                gate_sed if new.ndim == 2 else (active & state.comp_active),
+                new, old),
+            new_sed_opt, state.sed_opt)
+
+        # gradient-extrapolation step y = z - step*g; the batched prox chain
+        # below produces x_{k+1}, and the t/z acceleration update follows
+        # (Beck & Teboulle ordering, lite/parameters.py:133-146)
+        def morph_y(g, opt, base, sed):
+            step = base / jnp.maximum(jnp.sum(sed * sed), 1e-12)
+            return opt.z - step * g
+
+        stepped_morphs = jax.vmap(morph_y)(
+            g_morphs, state.morph_opt, data.fista_step, state.seds)
+        new_morph_opt = None  # finalized after the prox chain
+    else:
+        # --- SED update (relative step with a noise-floor minimum,
+        #     lite/initialization.py:275-279) ---
+        def update_sed(sed, g, opt, on):
+            step = jnp.maximum(data.sed_step_min,
+                               config.sed_step_factor * jnp.mean(sed))
+            return adaprox_step(
+                sed, g, it, opt, step,
+                prox=lambda x, s: jnp.maximum(x, config.floor),
+                scheme=config.scheme, b1=config.b1, b2=config.b2,
+                eps=config.eps, p=config.p,
+                max_prox_iter=config.max_prox_iter,
+                active=active & on,
+            )
+
+        new_seds, new_sed_opt = jax.vmap(update_sed)(
+            state.seds, g_seds, state.sed_opt, state.comp_active
         )
 
-    new_seds, new_sed_opt = jax.vmap(update_sed)(
-        state.seds, g_seds, state.sed_opt, state.comp_active
-    )
+        # --- morphology update (constant step; prox chain applied with the
+        #     *new* SED, matching lite/models.py:246-252).  The gradient step
+        #     runs vmapped per component; the prox chain runs batched over
+        #     the whole component stack so the monotonicity kernel sees one
+        #     call.
+        def update_morph(morph, g, opt):
+            return adaprox_step(
+                morph, g, it, opt, config.morph_step, prox=None,
+                scheme=config.scheme, b1=config.b1, b2=config.b2,
+                eps=config.eps, p=config.p,
+                max_prox_iter=config.max_prox_iter,
+            )
 
-    # --- morphology update (constant step; prox chain applied with the
-    #     *new* SED, matching lite/models.py:246-252).  The gradient step
-    #     runs vmapped per component; the prox chain runs batched over the
-    #     whole component stack so the monotonicity kernel sees one call.
-    def update_morph(morph, g, opt):
-        return adaprox_step(
-            morph, g, it, opt, config.morph_step, prox=None,
-            scheme=config.scheme, b1=config.b1, b2=config.b2, eps=config.eps,
-            p=config.p, max_prox_iter=config.max_prox_iter,
+        stepped_morphs, new_morph_opt = jax.vmap(update_morph)(
+            state.morphs, g_morphs, state.morph_opt
         )
-
-    stepped_morphs, new_morph_opt = jax.vmap(update_morph)(
-        state.morphs, g_morphs, state.morph_opt
-    )
     proxed_morphs = _prox_morph_batched(stepped_morphs, new_seds, data, config)
+
+    if config.optimizer == "fista":
+        from ..optim import FistaState
+
+        def morph_accel(x_old, x_new, opt):
+            t_new = 0.5 * (1 + jnp.sqrt(1 + 4 * opt.t ** 2))
+            omega = 1 + (opt.t - 1) / t_new
+            return FistaState(z=x_old + omega * (x_new - x_old), t=t_new)
+
+        new_morph_opt = jax.vmap(morph_accel)(
+            state.morphs, proxed_morphs, state.morph_opt)
+
     gate = (active & state.comp_active)[:, None, None]
     new_morphs = jnp.where(gate, proxed_morphs, state.morphs)
     new_morph_opt = jax.tree.map(
-        lambda new, old: jnp.where(gate, new, old),
+        lambda new, old: jnp.where(
+            gate if new.ndim == 3 else (active & state.comp_active),
+            new, old),
         new_morph_opt, state.morph_opt,
     )
 

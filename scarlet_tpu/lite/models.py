@@ -491,12 +491,20 @@ class LiteBlend:
         seds = np.zeros((K, C), dtype=dtype)
         morphs = np.zeros((K, Hb, Hb), dtype=dtype)
         origins = np.zeros((K, 2), dtype=np.int32)
+        from .parameters import FistaParameter
+
+        use_fista = all(isinstance(c._sed, FistaParameter) for c in comps)
         m_sed = np.zeros_like(seds)
         v_sed = np.zeros_like(seds)
         vhat_sed = np.zeros_like(seds)
         m_mor = np.zeros_like(morphs)
         v_mor = np.zeros_like(morphs)
         vhat_mor = np.zeros_like(morphs)
+        z_sed = np.zeros_like(seds)
+        z_mor = np.zeros_like(morphs)
+        t_sed = np.ones((K,), dtype=dtype)
+        t_mor = np.ones((K,), dtype=dtype)
+        fista_steps = np.zeros((K,), dtype=dtype)
 
         pads = []
         for k, c in enumerate(comps):
@@ -529,6 +537,14 @@ class LiteBlend:
                 v_mor[k, dy:dy + h, dx:dx + w] = np.asarray(st.v)[crop]
                 vhat_mor[k, dy:dy + h, dx:dx + w] = np.maximum(
                     np.asarray(st.vhat)[crop], 0)
+            if use_fista:
+                crop = (slice(cy, cy + h), slice(cx, cx + w))
+                z_sed[k] = np.asarray(c._sed.state.z)
+                t_sed[k] = float(c._sed.state.t)
+                z_mor[k, dy:dy + h, dx:dx + w] = \
+                    np.asarray(c._morph.state.z)[crop]
+                t_mor[k] = float(c._morph.state.t)
+                fista_steps[k] = float(c._sed.step)
         self._engine_pads = pads
 
         # exact scene padding: largest padded-box overhang past the scene
@@ -555,6 +571,7 @@ class LiteBlend:
             # XLA path on CPU
             use_pallas=_jax.default_backend() != "cpu",
             scene_pad=scene_pad,
+            optimizer="fista" if use_fista else "adaprox",
         )
 
         data = engine.BlendData(
@@ -571,14 +588,20 @@ class LiteBlend:
             sed_step_min=obs.noise_rms / 10.0,
             mono_weights=jnp.asarray(mono_w.astype(dtype)),
             mono_keep=jnp.asarray(mono_keep),
+            fista_step=jnp.asarray(fista_steps) if use_fista else None,
         )
+        if use_fista:
+            from ..optim import FistaState
+
+            sed_opt = FistaState(z=jnp.asarray(z_sed), t=jnp.asarray(t_sed))
+            morph_opt = FistaState(z=jnp.asarray(z_mor), t=jnp.asarray(t_mor))
+        else:
+            sed_opt = engine.init_adaprox_state(
+                jnp.asarray(seds), m=m_sed, v=v_sed, vhat=vhat_sed)
+            morph_opt = engine.init_adaprox_state(
+                jnp.asarray(morphs), m=m_mor, v=v_mor, vhat=vhat_mor)
         state = engine.make_blend_state(
-            seds, morphs, origins,
-            sed_opt=engine.init_adaprox_state(jnp.asarray(seds),
-                                              m=m_sed, v=v_sed, vhat=vhat_sed),
-            morph_opt=engine.init_adaprox_state(jnp.asarray(morphs),
-                                                m=m_mor, v=v_mor,
-                                                vhat=vhat_mor),
+            seds, morphs, origins, sed_opt=sed_opt, morph_opt=morph_opt,
         )
         state = state._replace(it=jnp.asarray(self.it, jnp.int32))
         return config, data, state
@@ -601,12 +624,18 @@ class LiteBlend:
             sl = (slice(dy, dy + h), slice(dx, dx + w))
             sed = seds[k]
             morph = embed(morphs[k][sl], cy, cx, h, w, h0, w0)
+            from .parameters import FistaParameter
+            from ..optim import FistaState
+
             if isinstance(c._sed, LiteParameter):
                 c._sed.x = jnp.asarray(sed)
                 if isinstance(c._sed, AdaproxParameter):
                     c._sed.state = engine.AdaproxState(
                         m=state.sed_opt.m[k], v=state.sed_opt.v[k],
                         vhat=state.sed_opt.vhat[k])
+                elif isinstance(c._sed, FistaParameter):
+                    c._sed.state = FistaState(z=state.sed_opt.z[k],
+                                              t=state.sed_opt.t[k])
             else:
                 c._sed = jnp.asarray(sed)
             if isinstance(c._morph, LiteParameter):
@@ -617,6 +646,10 @@ class LiteBlend:
                         v=embed(state.morph_opt.v[k][sl], cy, cx, h, w, h0, w0),
                         vhat=embed(state.morph_opt.vhat[k][sl], cy, cx, h, w,
                                    h0, w0))
+                elif isinstance(c._morph, FistaParameter):
+                    c._morph.state = FistaState(
+                        z=embed(state.morph_opt.z[k][sl], cy, cx, h, w, h0, w0),
+                        t=state.morph_opt.t[k])
             else:
                 c._morph = morph
 

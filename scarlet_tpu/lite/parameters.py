@@ -33,6 +33,16 @@ def _grow_array(x, new_shape, dist):
     return result
 
 
+class _ConstantStep:
+    """Picklable constant step rule (a local closure would not pickle)."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def __call__(self, x, it):
+        return self.value
+
+
 class LiteParameter:
     """Abstract parameter with its own update rule.
 
@@ -106,14 +116,7 @@ class AdaproxParameter(LiteParameter):
         self.b2 = b2
         self.eps = eps
         self.p = p
-        if not callable(step):
-            _step = step
-
-            def step_fn(x, it):
-                return _step
-            self.step = step_fn
-        else:
-            self.step = step
+        self.step = step if callable(step) else _ConstantStep(step)
         self.grad = grad
         self.prox = prox
         self.scheme = scheme

@@ -111,3 +111,19 @@ class TestLiteEndToEnd:
         k = obs.psfs.shape[-1] // 2
         np.testing.assert_allclose(
             fftd[:, k:-k, k:-k], real[:, k:-k, k:-k], rtol=1e-3, atol=1e-4)
+
+
+class TestFistaEngine:
+    def test_fista_fit(self, sim_observation):
+        obs, centers, catalog = sim_observation
+        sources = lite.init_all_sources_main(obs, centers, min_snr=50)
+        sources = lite.parameterize_sources(
+            sources, obs, lite.init_fista_component)
+        blend = lite.LiteBlend(sources, obs)
+        it, logL = blend.fit(100, e_rel=1e-4, resize=None)
+        losses = np.array(blend.loss)
+        assert losses[-1] > losses[0]
+        model = np.asarray(obs.convolve(blend.get_model()))
+        chi2_dof = float(np.mean(
+            np.asarray(obs.weights) * (np.asarray(obs.images) - model) ** 2))
+        assert chi2_dof < 1.5, f"FISTA chi2/dof = {chi2_dof}"
