@@ -426,3 +426,36 @@ def get_psf_size(psf):
     area = np.sum(psf_frame > 0.5)
     d = 2 * (area / np.pi) ** 0.5
     return 3 * d / (2 * (2 * np.log(2)) ** 0.5)
+
+
+def sinc2D(y, x):
+    """2D sinc from the product of 1D sincs. Ref: interpolation.py:641-654."""
+    return jnp.dot(jnp.sinc(jnp.asarray(y)), jnp.sinc(jnp.asarray(x)))
+
+
+def interpolate_observation(observation, frame, wave_filter=False):
+    """Sinc-interpolate an observation's images onto a frame's grid.
+
+    Ref: interpolation.py:563-599.
+    """
+    from . import wavelet as wavelet_ops
+
+    coord_lr0 = np.array(
+        (np.arange(observation.shape[1]), np.arange(observation.shape[2]))
+    )
+    coord_hr = (np.arange(frame.shape[1]), np.arange(frame.shape[2]))
+    coord_lr = observation.convert_pixel_to(frame, pixel=coord_lr0.T).T
+
+    if wave_filter:
+        images = np.array([
+            wavelet_ops.apply_wavelet_denoising(image)
+            for image in np.asarray(observation.data)
+        ])
+    else:
+        images = np.asarray(observation.data)
+    interp = [
+        np.asarray(sinc_interp(image[None, :, :], coord_hr, coord_lr,
+                               angle=None))[0].T
+        for image in images
+    ]
+    return np.array(interp)

@@ -677,3 +677,85 @@ def proximal_disk_sed(X, step, peaks, algorithm=project_disk_sed_mean):
             disk_k = peak["disk"].index
             X[:, disk_k] = algorithm(X[:, bulge_k], X[:, disk_k])
     return np.asarray(prox_unity_plus(jnp.asarray(X), step, axis=0))
+
+
+# ---------------------------------------------------------------------------
+# Flat-form compatibility helpers (the reference's band-diagonal weight
+# construction API; operator.py:512-667).  The native construction here is
+# the 2D `monotonic_weights`; these wrappers expose the flattened forms.
+# ---------------------------------------------------------------------------
+def getOffsets(width, coords=None):
+    """Flat-index offsets + band slices for the 8-neighbor bands.
+
+    Ref: operator.py:512-527.
+    """
+    if coords is None:
+        coords = list(NEIGHBOR_OFFSETS)
+    offsets = [width * y + x for y, x in coords]
+    slices = [slice(None, s) if s < 0 else slice(s, None) for s in offsets]
+    slices_inv = [slice(-s, None) if s < 0 else slice(None, -s)
+                  for s in offsets]
+    return offsets, slices, slices_inv
+
+
+def diagonalizeArray(arr, shape=None, dtype=np.float64):
+    """(8, N) array of each pixel's neighbor values (band-diagonal form)
+    plus the out-of-bounds mask.  Ref: operator.py:530-572; this version
+    masks *all* row-wrap neighbors (the reference misses one case per row
+    for the (1,1) band, see SURVEY.md §2 #7 note).
+    """
+    arr = np.asarray(arr)
+    if shape is None:
+        height, width = arr.shape
+        data = arr
+    elif arr.ndim == 1:
+        height, width = shape
+        data = arr.reshape(height, width)
+    else:
+        raise ValueError("Expected either a 2D array or a 1D array + shape")
+
+    diagonals = np.zeros((8, height * width), dtype=dtype)
+    mask = np.ones((8, height * width), dtype=bool)
+    yy, xx = np.mgrid[0:height, 0:width]
+    for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+        ny, nx = yy + dy, xx + dx
+        valid = (ny >= 0) & (ny < height) & (nx >= 0) & (nx < width)
+        vals = np.zeros((height, width), dtype=dtype)
+        vals[valid] = data[ny[valid], nx[valid]]
+        diagonals[d] = vals.ravel()
+        mask[d] = ~valid.ravel()
+    return diagonals, mask
+
+
+def getRadialMonotonicWeights(shape, neighbor_weight="flat", center=None):
+    """(8, N) flat-form radial monotonicity weights.
+
+    Ref: operator.py:591-667; computed from the 2D-native construction.
+    """
+    w = monotonic_weights(shape, neighbor_weight=neighbor_weight,
+                          center=center)
+    return w.reshape(8, -1)
+
+
+def prox_weighted_monotonic_seq(shape, neighbor_weight="flat",
+                                min_gradient=0.1, center=None):
+    """Build the reference-style *sequential* monotonicity prox (native C++
+    sweep), mirroring operator.py:62-96.  Useful as a CPU reference; the
+    TPU path is :func:`build_prox_monotonic`.
+    """
+    from .. import native
+
+    height, width = shape
+    didx = sort_by_radius(shape, center)[1:]
+    offsets = np.array([width * y + x for y, x in NEIGHBOR_OFFSETS], np.int64)
+    weights = getRadialMonotonicWeights(shape,
+                                        neighbor_weight=neighbor_weight,
+                                        center=center)
+
+    def prox(X, step=0):
+        flat = native.prox_weighted_monotonic(
+            np.asarray(X, np.float32).flatten(), weights, offsets, didx,
+            min_gradient)
+        return flat.reshape(shape)
+
+    return prox
