@@ -4,19 +4,25 @@ as one jit-compiled ``lax.scan`` program.
 This is the TPU-first reformulation of the reference's per-iteration Python
 loop (scarlet/lite/models.py:589-624 + lite/parameters.py:274-305):
 
-* all K components of a blend share one static (bucketed) box size, stored as
-  structure-of-arrays ``seds (K, C)`` / ``morphs (K, Hb, Wb)`` /
-  ``origins (K, 2)``;
-* the scene is assembled by a ``lax.scan`` of dynamic-slice adds into a
-  zero-padded scene (padding by one box size gives exact clipped-overlap
-  semantics without index clamping);
-* PSF (difference-kernel) convolution uses precomputed kernel rFFTs;
+* components are grouped into **size buckets** (box sizes 21, 31, 41, ...;
+  initialization.get_minimal_boxsize quantization): each bucket is a
+  structure-of-arrays ``seds (Kb, C)`` / ``morphs (Kb, hb, wb)`` /
+  ``origins (Kb, 2)``, so a single oversized source does not inflate the
+  per-pixel work of every other component (monotonicity cost grows like
+  hb^2 * depth(hb));
+* the scene is assembled by scatter-adds into a zero-padded scene (padding
+  by the largest box overhang gives exact clipped-overlap semantics without
+  index clamping);
+* PSF (difference-kernel) convolution uses precomputed kernel rFFTs,
+  stored as stacked (re, im) float pairs (the axon TPU backend cannot
+  transfer complex buffers host->device);
 * gradients are the analytic lite gradients (convolve residual with the
   flipped kernel, then per-component einsum slices — lite/models.py:206-216,
   537-545);
-* the adaprox update + morphology prox chain (monotonicity, background
-  thresholding, center floor, max-normalization — lite/models.py:218-244)
-  runs ``vmap``-ed over components;
+* the adaprox (or FISTA) update + morphology prox chain (monotonicity,
+  background thresholding, center floor, max-normalization —
+  lite/models.py:218-244) runs batched per bucket; monotonicity uses the
+  VMEM-resident Pallas kernel on accelerators;
 * per-blend convergence (|dL| < e_rel |L|) freezes updates through an
   ``active`` mask, so a ``vmap`` over blends lets every blend in a batch
   stop independently while the batch keeps running.
@@ -37,7 +43,8 @@ import jax.numpy as jnp
 
 from ..ops import fft as fft_ops
 from ..ops import prox as prox_ops
-from ..optim import AdaproxState, init_adaprox_state, adaprox_step
+from ..optim import (AdaproxState, FistaState, init_adaprox_state,
+                     adaprox_step, fista_step)
 
 __all__ = [
     "LiteFitConfig",
@@ -56,11 +63,17 @@ __all__ = [
 @dataclass(frozen=True)
 class LiteFitConfig:
     """Static (hashable) fit configuration; changing any field triggers a
-    re-jit, so these are knobs, not data."""
+    re-jit, so these are knobs, not data.
+
+    Components live in per-size buckets: ``box_shapes[b]`` is the (odd)
+    square box of bucket ``b`` holding ``bucket_counts[b]`` components,
+    whose monotonicity projection needs ``mono_n_iters[b]`` Jacobi passes.
+    """
     scene_shape: tuple            # (C, H, W)
-    box_shape: tuple              # (Hb, Wb), odd
-    n_components: int             # K
+    box_shapes: tuple             # ((hb, wb), ...) per bucket
+    bucket_counts: tuple          # (Kb, ...) per bucket
     fft_shape: Optional[tuple]    # spatial FFT shape; None = no convolution
+    mono_n_iters: tuple = ()      # per bucket; from monotonicity_tables
     optimizer: str = "adaprox"    # "adaprox" | "fista"
     scheme: str = "amsgrad"
     b1: float = 0.9
@@ -77,10 +90,13 @@ class LiteFitConfig:
     fit_center_radius: int = 1
     min_gradient: float = 0.0
     neighbor_weight: str = "angle"
-    mono_n_iter: int = 0          # filled in by monotonicity_tables
     use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
     pallas_interpret: bool = False
-    scene_pad: int = -1           # -1: one full box (always safe)
+    scene_pad: int = -1           # -1: one full (largest) box — always safe
+
+    @property
+    def n_buckets(self):
+        return len(self.box_shapes)
 
     @property
     def pad(self):
@@ -88,16 +104,13 @@ class LiteFitConfig:
         the largest out-of-scene box overhang."""
         if self.scene_pad >= 0:
             return self.scene_pad
-        return max(self.box_shape)
+        return max(max(s) for s in self.box_shapes)
 
 
 class BlendData(NamedTuple):
     """Per-blend constants (batchable: add a leading axis + vmap).
 
-    Kernel rFFTs are stored as stacked (real, imag) float arrays — the axon
-    TPU backend cannot transfer complex buffers host->device, and float
-    storage also shards/replicates uniformly; they are recombined to
-    complex inside the compiled step (one free elementwise op).
+    Bucketed fields are tuples with one array per bucket.
     """
     images: jnp.ndarray          # (C, H, W)
     weights: jnp.ndarray         # (C, H, W)
@@ -105,19 +118,22 @@ class BlendData(NamedTuple):
     grad_kernel_rfft: Optional[jnp.ndarray]  # (2, C, ...) flipped kernel
     bg_rms: jnp.ndarray          # (C,) noise RMS per band
     sed_step_min: jnp.ndarray    # (C,) minimum SED step
-    mono_weights: jnp.ndarray    # (ncand, 8, Hb, Wb)
-    mono_keep: jnp.ndarray       # (ncand, Hb, Wb) float 1.0 at frozen pixels
-    fista_step: Optional[jnp.ndarray] = None  # (K,) base FISTA steps
+    mono_weights: tuple          # per bucket: (ncand, 8, hb, wb)
+    mono_keep: tuple             # per bucket: (ncand, hb, wb) float
+    fista_step: Optional[tuple] = None  # per bucket: (Kb,) base FISTA steps
+    box_masks: Optional[tuple] = None   # per bucket: (Kb, hb, wb) float —
+    # 1 inside each component's logical box; confines morphologies to their
+    # reference box when the physical bucket is larger
 
 
 class BlendState(NamedTuple):
-    """Per-blend mutable fit state."""
-    seds: jnp.ndarray            # (K, C)
-    morphs: jnp.ndarray          # (K, Hb, Wb)
-    origins: jnp.ndarray         # (K, 2) int32, scene coords of box corner
-    comp_active: jnp.ndarray     # (K,) bool, False for padded null slots
-    sed_opt: AdaproxState        # leaves (K, C)
-    morph_opt: AdaproxState      # leaves (K, Hb, Wb)
+    """Per-blend mutable fit state; bucketed fields are tuples."""
+    seds: tuple                  # per bucket: (Kb, C)
+    morphs: tuple                # per bucket: (Kb, hb, wb)
+    origins: tuple               # per bucket: (Kb, 2) int32 scene coords
+    comp_active: tuple           # per bucket: (Kb,) bool (False = null slot)
+    sed_opt: tuple               # per bucket: AdaproxState | FistaState
+    morph_opt: tuple             # per bucket: AdaproxState | FistaState
     active: jnp.ndarray          # () bool — blend still iterating
     it: jnp.ndarray              # () int32 — iterations executed
     last_loss: jnp.ndarray       # () float — previous logL
@@ -126,11 +142,12 @@ class BlendState(NamedTuple):
 # ---------------------------------------------------------------------------
 # Setup helpers (host-side)
 # ---------------------------------------------------------------------------
-def monotonicity_tables(box_shape, fit_center_radius=1, neighbor_weight="angle"):
+def monotonicity_tables(box_shape, fit_center_radius=1,
+                        neighbor_weight="angle"):
     """Stacked monotonicity weight tables for every candidate center in the
     (2r+1)^2 peak-search window around the box center.
 
-    Returns (weights (ncand, 8, Hb, Wb), keep (ncand, Hb, Wb), n_iter).
+    Returns (weights (ncand, 8, hb, wb), keep (ncand, hb, wb), n_iter).
     """
     Hb, Wb = box_shape
     bc = (Hb // 2, Wb // 2)
@@ -154,8 +171,8 @@ def monotonicity_tables(box_shape, fit_center_radius=1, neighbor_weight="angle")
 
 def make_blend_data(images, weights, diff_kernel, bg_rms, config,
                     sed_step_min=None):
-    """Build the BlendData pytree: precompute kernel rFFTs and monotonicity
-    tables for the configured box."""
+    """Build the BlendData pytree: precompute kernel rFFTs and per-bucket
+    monotonicity tables."""
     images = jnp.asarray(images)
     weights = jnp.asarray(weights)
     if diff_kernel is not None:
@@ -167,9 +184,14 @@ def make_blend_data(images, weights, diff_kernel, bg_rms, config,
     else:
         kernel_rfft = grad_kernel_rfft = None
 
-    mono_w, mono_keep, _ = monotonicity_tables(
-        config.box_shape, config.fit_center_radius, config.neighbor_weight
-    )
+    dtype = np.dtype(images.dtype)
+    mono_w, mono_keep = [], []
+    for shape in config.box_shapes:
+        w, keep, _ = monotonicity_tables(
+            shape, config.fit_center_radius, config.neighbor_weight)
+        mono_w.append(jnp.asarray(w.astype(dtype)))
+        mono_keep.append(jnp.asarray(keep.astype(dtype)))
+
     bg_rms = jnp.asarray(bg_rms)
     if sed_step_min is None:
         sed_step_min = bg_rms / 10.0
@@ -180,25 +202,42 @@ def make_blend_data(images, weights, diff_kernel, bg_rms, config,
         grad_kernel_rfft=grad_kernel_rfft,
         bg_rms=bg_rms,
         sed_step_min=jnp.asarray(sed_step_min),
-        mono_weights=jnp.asarray(mono_w.astype(np.dtype(images.dtype))),
-        mono_keep=jnp.asarray(mono_keep.astype(np.dtype(images.dtype))),
+        mono_weights=tuple(mono_w),
+        mono_keep=tuple(mono_keep),
     )
 
 
 def make_blend_state(seds, morphs, origins, comp_active=None,
                      sed_opt=None, morph_opt=None):
-    seds = jnp.asarray(seds)
-    morphs = jnp.asarray(morphs)
+    """Assemble a BlendState from per-bucket lists of arrays (or single
+    arrays for one bucket)."""
+    def as_buckets(x):
+        if isinstance(x, (list, tuple)):
+            return tuple(x)
+        return (x,)
+
+    seds = tuple(jnp.asarray(s) for s in as_buckets(seds))
+    morphs = tuple(jnp.asarray(m) for m in as_buckets(morphs))
+    origins = tuple(jnp.asarray(o, jnp.int32) for o in as_buckets(origins))
     if comp_active is None:
-        comp_active = jnp.ones((seds.shape[0],), bool)
+        comp_active = tuple(jnp.ones((s.shape[0],), bool) for s in seds)
+    else:
+        comp_active = tuple(jnp.asarray(a) for a in as_buckets(comp_active))
+    if sed_opt is None:
+        sed_opt = tuple(init_adaprox_state(s) for s in seds)
+    else:
+        sed_opt = as_buckets(sed_opt)
+    if morph_opt is None:
+        morph_opt = tuple(init_adaprox_state(m) for m in morphs)
+    else:
+        morph_opt = as_buckets(morph_opt)
     return BlendState(
         seds=seds,
         morphs=morphs,
-        origins=jnp.asarray(origins, jnp.int32),
-        comp_active=jnp.asarray(comp_active),
-        sed_opt=sed_opt if sed_opt is not None else init_adaprox_state(seds),
-        morph_opt=morph_opt if morph_opt is not None
-        else init_adaprox_state(morphs),
+        origins=origins,
+        comp_active=comp_active,
+        sed_opt=sed_opt,
+        morph_opt=morph_opt,
         active=jnp.asarray(True),
         it=jnp.asarray(0, jnp.int32),
         last_loss=jnp.asarray(jnp.inf),
@@ -208,30 +247,33 @@ def make_blend_state(seds, morphs, origins, comp_active=None,
 # ---------------------------------------------------------------------------
 # Forward model
 # ---------------------------------------------------------------------------
-def make_scene(seds, morphs, origins, comp_active, config):
-    """Scatter-add K factorized components into the scene.
+def make_scene(state, config):
+    """Scatter-add all buckets' factorized components into the scene.
 
-    Works in a scene padded by one box size so partially-out-of-scene boxes
-    clip exactly (dynamic_update_slice would otherwise clamp and shift).
+    Works in a scene padded by the largest box overhang so partially
+    out-of-scene boxes clip exactly (dynamic_update_slice would otherwise
+    clamp and shift).
     """
     C, H, W = config.scene_shape
-    Hb, Wb = config.box_shape
     P = config.pad
-    scene = jnp.zeros((C, H + 2 * P, W + 2 * P),
-                      dtype=morphs.dtype)
-
+    dtype = state.morphs[0].dtype
+    scene = jnp.zeros((C, H + 2 * P, W + 2 * P), dtype=dtype)
     zero = jnp.asarray(0, jnp.int32)
 
-    # unrolled over the (small, static) component count: XLA updates the
-    # scene windows in place without scan carry copies
-    K = seds.shape[0]
-    for k in range(K):
-        model = (seds[k][:, None, None] * morphs[k][None]) * comp_active[k]
-        oy = origins[k, 0] + P
-        ox = origins[k, 1] + P
-        cur = jax.lax.dynamic_slice(scene, (zero, oy, ox), (C, Hb, Wb))
-        scene = jax.lax.dynamic_update_slice(scene, cur + model,
-                                             (zero, oy, ox))
+    for b, (hb, wb) in enumerate(config.box_shapes):
+        seds = state.seds[b]
+        morphs = state.morphs[b]
+        origins = state.origins[b]
+        on = state.comp_active[b]
+        # unrolled over the (small, static) component count: XLA updates
+        # the scene windows in place without scan carry copies
+        for k in range(seds.shape[0]):
+            model = (seds[k][:, None, None] * morphs[k][None]) * on[k]
+            oy = origins[k, 0] + P
+            ox = origins[k, 1] + P
+            cur = jax.lax.dynamic_slice(scene, (zero, oy, ox), (C, hb, wb))
+            scene = jax.lax.dynamic_update_slice(scene, cur + model,
+                                                 (zero, oy, ox))
     return scene[:, P:P + H, P:P + W]
 
 
@@ -254,25 +296,29 @@ def _convolve(scene, kernel_rfft, config):
 
 def render(state, data, config):
     """Scene model convolved to the observed PSF."""
-    scene = make_scene(state.seds, state.morphs, state.origins,
-                       state.comp_active, config)
-    return _convolve(scene, data.kernel_rfft, config)
+    return _convolve(make_scene(state, config), data.kernel_rfft, config)
 
 
 # ---------------------------------------------------------------------------
-# Morphology prox chain (batched over all K components at once)
+# Morphology prox chain (batched over one bucket's components)
 # ---------------------------------------------------------------------------
-def _prox_morph_batched(morphs, seds, data, config):
+def _prox_morph_bucket(morphs, seds, data, config, b):
     """Monotonicity -> background threshold (or positivity) -> center floor
-    -> max normalization, over the (K, Hb, Wb) component stack.
+    -> max normalization, over bucket ``b``'s (Kb, hb, wb) stack.
 
     Ref: lite/models.py:224-244.  The monotonicity projection runs either as
     the VMEM-resident Pallas kernel (TPU) or as fused XLA Jacobi passes.
     """
     K = morphs.shape[0]
-    Hb, Wb = config.box_shape
-    bc = (Hb // 2, Wb // 2)
+    hb, wb = config.box_shapes[b]
+    bc = (hb // 2, wb // 2)
     r = config.fit_center_radius
+    n_iter = config.mono_n_iters[b]
+
+    if data.box_masks is not None:
+        # confine each morphology to its logical (reference) box — gradient
+        # steps can push flux into the physical bucket's padding
+        morphs = morphs * data.box_masks[b]
 
     # select the monotonicity table for the brightest pixel near each center
     if r > 0:
@@ -286,12 +332,12 @@ def _prox_morph_batched(morphs, seds, data, config):
         from ..ops.pallas_kernels import batched_monotonic_prox
 
         morphs = batched_monotonic_prox(
-            morphs, idx, data.mono_weights, data.mono_keep,
-            config.mono_n_iter, config.min_gradient,
+            morphs, idx, data.mono_weights[b], data.mono_keep[b],
+            n_iter, config.min_gradient,
             interpret=config.pallas_interpret)
     else:
-        w = data.mono_weights[idx]       # (K, 8, Hb, Wb)
-        keep = data.mono_keep[idx] > 0.5
+        w = data.mono_weights[b][idx]       # (Kb, 8, hb, wb)
+        keep = data.mono_keep[b][idx] > 0.5
         scale = 1.0 - config.min_gradient
         X0 = morphs
 
@@ -301,7 +347,7 @@ def _prox_morph_batched(morphs, seds, data, config):
                 ref = ref + w[:, d] * _shift_batch(x, dy, dx)
             return jnp.where(keep, X0, jnp.minimum(X0, ref * scale))
 
-        morphs = jax.lax.fori_loop(0, config.mono_n_iter, body, X0)
+        morphs = jax.lax.fori_loop(0, n_iter, body, X0)
 
     if config.bg_thresh is not None:
         model = seds[:, :, None, None] * morphs[:, None]
@@ -330,18 +376,16 @@ def _shift_batch(x, dy, dx):
 # One fit iteration
 # ---------------------------------------------------------------------------
 def fit_step(state, data, config):
-    """One adaprox iteration over all components of one blend.
+    """One adaprox/FISTA iteration over all components of one blend.
 
     Returns (new_state, logL) with logL = -0.5 sum(w (model - img)^2)
     (the value the reference records in ``LiteBlend.loss``,
     lite/models.py:541).
     """
     C, H, W = config.scene_shape
-    Hb, Wb = config.box_shape
     P = config.pad
 
-    scene = make_scene(state.seds, state.morphs, state.origins,
-                       state.comp_active, config)
+    scene = make_scene(state, config)
     model = _convolve(scene, data.kernel_rfft, config)
     residual = data.weights * (model - data.images)
     logL = -0.5 * jnp.sum(residual * (model - data.images))
@@ -350,121 +394,124 @@ def fit_step(state, data, config):
     gpad = jnp.pad(grad_scene, ((0, 0), (P, P), (P, P)))
 
     zero = jnp.asarray(0, jnp.int32)
-
-    def grads(origin, sed, morph):
-        g = jax.lax.dynamic_slice(
-            gpad, (zero, origin[0] + P, origin[1] + P), (C, Hb, Wb)
-        )
-        g_sed = jnp.einsum("chw,hw->c", g, morph)
-        g_morph = jnp.einsum("c,chw->hw", sed, g)
-        return g_sed, g_morph
-
-    g_seds, g_morphs = jax.vmap(grads)(state.origins, state.seds, state.morphs)
-
     it = state.it
     active = state.active
 
-    if config.optimizer == "fista":
-        # FISTA steps scale by the squared norm of the other factor
-        # (lite/parameters.py:133-146)
-        from ..optim import fista_step
+    new_seds, new_sed_opts = [], []
+    new_morphs, new_morph_opts = [], []
 
-        def update_sed(sed, g, opt, base, morph):
-            step = base / jnp.maximum(jnp.sum(morph * morph), 1e-12)
-            return fista_step(
-                sed, g, it, opt, step,
-                prox=lambda x, s: jnp.maximum(x, config.floor))
+    for b, (hb, wb) in enumerate(config.box_shapes):
+        seds_b = state.seds[b]
+        morphs_b = state.morphs[b]
+        on_b = state.comp_active[b]
 
-        new_seds, new_sed_opt = jax.vmap(update_sed)(
-            state.seds, g_seds, state.sed_opt, data.fista_step, state.morphs)
-        gate_sed = (active & state.comp_active)[:, None]
-        new_seds = jnp.where(gate_sed, new_seds, state.seds)
-        new_sed_opt = jax.tree.map(
+        def grads(origin, sed, morph):
+            g = jax.lax.dynamic_slice(
+                gpad, (zero, origin[0] + P, origin[1] + P), (C, hb, wb))
+            g_sed = jnp.einsum("chw,hw->c", g, morph)
+            g_morph = jnp.einsum("c,chw->hw", sed, g)
+            return g_sed, g_morph
+
+        g_seds, g_morphs = jax.vmap(grads)(state.origins[b], seds_b, morphs_b)
+
+        if config.optimizer == "fista":
+            # FISTA steps scale by the squared norm of the other factor
+            # (lite/parameters.py:133-146)
+            def update_sed(sed, g, opt, base, morph):
+                step = base / jnp.maximum(jnp.sum(morph * morph), 1e-12)
+                return fista_step(
+                    sed, g, it, opt, step,
+                    prox=lambda x, s: jnp.maximum(x, config.floor))
+
+            sb, sopt = jax.vmap(update_sed)(
+                seds_b, g_seds, state.sed_opt[b], data.fista_step[b],
+                morphs_b)
+
+            # gradient-extrapolation y = z - step*g; the batched prox chain
+            # produces x_{k+1}; the t/z acceleration update follows
+            # (Beck & Teboulle ordering, lite/parameters.py:133-146)
+            def morph_y(g, opt, base, sed):
+                step = base / jnp.maximum(jnp.sum(sed * sed), 1e-12)
+                return opt.z - step * g
+
+            stepped = jax.vmap(morph_y)(
+                g_morphs, state.morph_opt[b], data.fista_step[b], seds_b)
+        else:
+            # SED: relative step with a noise-floor minimum
+            # (lite/initialization.py:275-279)
+            def update_sed(sed, g, opt, on):
+                step = jnp.maximum(data.sed_step_min,
+                                   config.sed_step_factor * jnp.mean(sed))
+                return adaprox_step(
+                    sed, g, it, opt, step,
+                    prox=lambda x, s: jnp.maximum(x, config.floor),
+                    scheme=config.scheme, b1=config.b1, b2=config.b2,
+                    eps=config.eps, p=config.p,
+                    max_prox_iter=config.max_prox_iter,
+                    active=active & on,
+                )
+
+            sb, sopt = jax.vmap(update_sed)(
+                seds_b, g_seds, state.sed_opt[b], on_b)
+
+            # morphology: constant step; prox chain applied with the *new*
+            # SED (lite/models.py:246-252), batched over the bucket
+            def update_morph(morph, g, opt):
+                return adaprox_step(
+                    morph, g, it, opt, config.morph_step, prox=None,
+                    scheme=config.scheme, b1=config.b1, b2=config.b2,
+                    eps=config.eps, p=config.p,
+                    max_prox_iter=config.max_prox_iter,
+                )
+
+            stepped, mopt = jax.vmap(update_morph)(
+                morphs_b, g_morphs, state.morph_opt[b])
+
+        if config.optimizer == "fista":
+            gate_sed = (active & on_b)[:, None]
+            sb = jnp.where(gate_sed, sb, seds_b)
+            sopt = jax.tree.map(
+                lambda new, old: jnp.where(
+                    gate_sed if new.ndim == 2 else (active & on_b), new, old),
+                sopt, state.sed_opt[b])
+
+        proxed = _prox_morph_bucket(stepped, sb, data, config, b)
+
+        if config.optimizer == "fista":
+            def morph_accel(x_old, x_new, opt):
+                t_new = 0.5 * (1 + jnp.sqrt(1 + 4 * opt.t ** 2))
+                omega = 1 + (opt.t - 1) / t_new
+                return FistaState(z=x_old + omega * (x_new - x_old), t=t_new)
+
+            mopt = jax.vmap(morph_accel)(morphs_b, proxed,
+                                         state.morph_opt[b])
+
+        gate = (active & on_b)[:, None, None]
+        mb = jnp.where(gate, proxed, morphs_b)
+        mopt = jax.tree.map(
             lambda new, old: jnp.where(
-                gate_sed if new.ndim == 2 else (active & state.comp_active),
-                new, old),
-            new_sed_opt, state.sed_opt)
-
-        # gradient-extrapolation step y = z - step*g; the batched prox chain
-        # below produces x_{k+1}, and the t/z acceleration update follows
-        # (Beck & Teboulle ordering, lite/parameters.py:133-146)
-        def morph_y(g, opt, base, sed):
-            step = base / jnp.maximum(jnp.sum(sed * sed), 1e-12)
-            return opt.z - step * g
-
-        stepped_morphs = jax.vmap(morph_y)(
-            g_morphs, state.morph_opt, data.fista_step, state.seds)
-        new_morph_opt = None  # finalized after the prox chain
-    else:
-        # --- SED update (relative step with a noise-floor minimum,
-        #     lite/initialization.py:275-279) ---
-        def update_sed(sed, g, opt, on):
-            step = jnp.maximum(data.sed_step_min,
-                               config.sed_step_factor * jnp.mean(sed))
-            return adaprox_step(
-                sed, g, it, opt, step,
-                prox=lambda x, s: jnp.maximum(x, config.floor),
-                scheme=config.scheme, b1=config.b1, b2=config.b2,
-                eps=config.eps, p=config.p,
-                max_prox_iter=config.max_prox_iter,
-                active=active & on,
-            )
-
-        new_seds, new_sed_opt = jax.vmap(update_sed)(
-            state.seds, g_seds, state.sed_opt, state.comp_active
+                gate if new.ndim == 3 else (active & on_b), new, old),
+            mopt, state.morph_opt[b],
         )
 
-        # --- morphology update (constant step; prox chain applied with the
-        #     *new* SED, matching lite/models.py:246-252).  The gradient step
-        #     runs vmapped per component; the prox chain runs batched over
-        #     the whole component stack so the monotonicity kernel sees one
-        #     call.
-        def update_morph(morph, g, opt):
-            return adaprox_step(
-                morph, g, it, opt, config.morph_step, prox=None,
-                scheme=config.scheme, b1=config.b1, b2=config.b2,
-                eps=config.eps, p=config.p,
-                max_prox_iter=config.max_prox_iter,
-            )
+        new_seds.append(sb)
+        new_sed_opts.append(sopt)
+        new_morphs.append(mb)
+        new_morph_opts.append(mopt)
 
-        stepped_morphs, new_morph_opt = jax.vmap(update_morph)(
-            state.morphs, g_morphs, state.morph_opt
-        )
-    proxed_morphs = _prox_morph_batched(stepped_morphs, new_seds, data, config)
-
-    if config.optimizer == "fista":
-        from ..optim import FistaState
-
-        def morph_accel(x_old, x_new, opt):
-            t_new = 0.5 * (1 + jnp.sqrt(1 + 4 * opt.t ** 2))
-            omega = 1 + (opt.t - 1) / t_new
-            return FistaState(z=x_old + omega * (x_new - x_old), t=t_new)
-
-        new_morph_opt = jax.vmap(morph_accel)(
-            state.morphs, proxed_morphs, state.morph_opt)
-
-    gate = (active & state.comp_active)[:, None, None]
-    new_morphs = jnp.where(gate, proxed_morphs, state.morphs)
-    new_morph_opt = jax.tree.map(
-        lambda new, old: jnp.where(
-            gate if new.ndim == 3 else (active & state.comp_active),
-            new, old),
-        new_morph_opt, state.morph_opt,
-    )
-
-    # --- convergence: |dL| < e_rel |L| after min_iter (lite/models.py:618) ---
+    # convergence: |dL| < e_rel |L| after min_iter (lite/models.py:618)
     converged = (it > config.min_iter) & (
         jnp.abs(logL - state.last_loss) < config.e_rel * jnp.abs(logL)
     )
     new_active = active & ~converged
 
     new_state = BlendState(
-        seds=new_seds,
-        morphs=new_morphs,
+        seds=tuple(new_seds),
+        morphs=tuple(new_morphs),
         origins=state.origins,
         comp_active=state.comp_active,
-        sed_opt=new_sed_opt,
-        morph_opt=new_morph_opt,
+        sed_opt=tuple(new_sed_opts),
+        morph_opt=tuple(new_morph_opts),
         active=new_active,
         it=state.it + active.astype(jnp.int32),
         last_loss=jnp.where(active, logL, state.last_loss),

@@ -440,28 +440,40 @@ class LiteBlend:
         return np.array(self.loss)
 
     # -- compiled fit ------------------------------------------------------
-    def engine_setup(self, e_rel=1e-4, min_iter=1):
+    def engine_setup(self, e_rel=1e-4, min_iter=1, bucket_mode="single"):
         """Public access to the (config, data, state) pytrees of the
         compiled engine — the entry point for batched fitting
-        (scarlet_tpu.parallel)."""
-        return self._engine_setup(e_rel, min_iter)
+        (scarlet_tpu.parallel).
 
-    def _engine_setup(self, e_rel, min_iter):
+        ``bucket_mode``: "single" packs every component into one physical
+        box bucket (fewer op streams — faster on TPU at typical sizes) with
+        per-component logical-box masks; "size" groups components into
+        per-size buckets (less per-pixel work when sizes vary wildly).
+        """
+        return self._engine_setup(e_rel, min_iter, bucket_mode=bucket_mode)
+
+    def _engine_setup(self, e_rel, min_iter, bucket_mode="single"):
+        import jax as _jax
+
         obs = self.observation
         comps = self.components
-        K = len(comps)
         C, H, W = obs.shape
+        dtype = np.asarray(obs.images).dtype
 
-        box_sizes = [c.bbox.shape[-1] for c in comps]
-        Hb = max(max(c.bbox.shape[-2] for c in comps), max(box_sizes))
-        # Cap the shared bucket at the scene size: model flux outside the
-        # scene never enters the likelihood, and oversized boxes inflate the
-        # monotonicity depth quadratically.
+        # --- group components into size buckets (capped at scene size:
+        # flux outside the scene never enters the likelihood) ---
         cap = max(H, W) + 1
-        Hb = min(Hb, cap)
-        if Hb % 2 == 0:
-            Hb += 1
-        box_shape = (Hb, Hb)
+        sizes = []
+        for c in comps:
+            size = min(max(c.bbox.shape[-2], c.bbox.shape[-1]), cap)
+            if size % 2 == 0:
+                size += 1
+            sizes.append(size)
+        if bucket_mode == "single":
+            sizes = [max(sizes)] * len(sizes)
+        bucket_sizes = sorted(set(sizes))
+        bucket_of = {s: b for b, s in enumerate(bucket_sizes)}
+        nb = len(bucket_sizes)
 
         if obs.diff_kernel is not None:
             fft_shape = fft_ops.good_fft_shape_even(
@@ -482,32 +494,39 @@ class LiteBlend:
             getattr(first, "monotonicity", None), "fit_center_radius", 1) or 1
         floor = getattr(first, "floor", 1e-20)
 
-        mono_w, mono_keep, mono_n_iter = engine.monotonicity_tables(
-            box_shape, fc_radius, "angle")
-
-        import jax as _jax
-
-        dtype = np.asarray(obs.images).dtype
-        seds = np.zeros((K, C), dtype=dtype)
-        morphs = np.zeros((K, Hb, Hb), dtype=dtype)
-        origins = np.zeros((K, 2), dtype=np.int32)
         from .parameters import FistaParameter
 
         use_fista = all(isinstance(c._sed, FistaParameter) for c in comps)
-        m_sed = np.zeros_like(seds)
-        v_sed = np.zeros_like(seds)
-        vhat_sed = np.zeros_like(seds)
-        m_mor = np.zeros_like(morphs)
-        v_mor = np.zeros_like(morphs)
-        vhat_mor = np.zeros_like(morphs)
-        z_sed = np.zeros_like(seds)
-        z_mor = np.zeros_like(morphs)
-        t_sed = np.ones((K,), dtype=dtype)
-        t_mor = np.ones((K,), dtype=dtype)
-        fista_steps = np.zeros((K,), dtype=dtype)
 
-        pads = []
-        for k, c in enumerate(comps):
+        # --- per-bucket state arrays ---
+        counts = [sizes.count(s) for s in bucket_sizes]
+        seds = [np.zeros((k, C), dtype=dtype) for k in counts]
+        morphs = [np.zeros((k, s, s), dtype=dtype)
+                  for k, s in zip(counts, bucket_sizes)]
+        origins = [np.zeros((k, 2), dtype=np.int32) for k in counts]
+        m_sed = [np.zeros_like(a) for a in seds]
+        v_sed = [np.zeros_like(a) for a in seds]
+        vhat_sed = [np.zeros_like(a) for a in seds]
+        m_mor = [np.zeros_like(a) for a in morphs]
+        v_mor = [np.zeros_like(a) for a in morphs]
+        vhat_mor = [np.zeros_like(a) for a in morphs]
+        z_sed = [np.zeros_like(a) for a in seds]
+        z_mor = [np.zeros_like(a) for a in morphs]
+        t_sed = [np.ones((k,), dtype=dtype) for k in counts]
+        t_mor = [np.ones((k,), dtype=dtype) for k in counts]
+        fista_steps = [np.zeros((k,), dtype=dtype) for k in counts]
+        box_masks = [np.zeros((k, s, s), dtype=dtype)
+                     for k, s in zip(counts, bucket_sizes)]
+
+        slots = [0] * nb
+        placements = []   # per component: (bucket, slot, dy, dx, h, w,
+                          #                 cy, cx, h0, w0)
+        for ci, c in enumerate(comps):
+            b = bucket_of[sizes[ci]]
+            Hb = bucket_sizes[b]
+            k = slots[b]
+            slots[b] += 1
+
             _, h0, w0 = c.bbox.shape
             morph_k = np.asarray(c.morph)
             oy, ox = c.bbox.origin[-2], c.bbox.origin[-1]
@@ -521,52 +540,64 @@ class LiteBlend:
             ox += cx
             dy = (Hb - h) // 2
             dx = (Hb - w) // 2
-            pads.append((dy, dx, h, w, cy, cx, h0, w0))
-            seds[k] = np.asarray(c.sed)
-            morphs[k, dy:dy + h, dx:dx + w] = morph_k
-            origins[k] = (oy - dy, ox - dx)
+            placements.append((b, k, dy, dx, h, w, cy, cx, h0, w0))
+            seds[b][k] = np.asarray(c.sed)
+            morphs[b][k, dy:dy + h, dx:dx + w] = morph_k
+            box_masks[b][k, dy:dy + h, dx:dx + w] = 1.0
+            origins[b][k] = (oy - dy, ox - dx)
             if isinstance(c._sed, AdaproxParameter):
                 st = c._sed.state
-                m_sed[k] = np.asarray(st.m)
-                v_sed[k] = np.asarray(st.v)
-                vhat_sed[k] = np.maximum(np.asarray(st.vhat), 0)
+                m_sed[b][k] = np.asarray(st.m)
+                v_sed[b][k] = np.asarray(st.v)
+                vhat_sed[b][k] = np.maximum(np.asarray(st.vhat), 0)
             if isinstance(c._morph, AdaproxParameter):
                 st = c._morph.state
                 crop = (slice(cy, cy + h), slice(cx, cx + w))
-                m_mor[k, dy:dy + h, dx:dx + w] = np.asarray(st.m)[crop]
-                v_mor[k, dy:dy + h, dx:dx + w] = np.asarray(st.v)[crop]
-                vhat_mor[k, dy:dy + h, dx:dx + w] = np.maximum(
+                m_mor[b][k, dy:dy + h, dx:dx + w] = np.asarray(st.m)[crop]
+                v_mor[b][k, dy:dy + h, dx:dx + w] = np.asarray(st.v)[crop]
+                vhat_mor[b][k, dy:dy + h, dx:dx + w] = np.maximum(
                     np.asarray(st.vhat)[crop], 0)
             if use_fista:
                 crop = (slice(cy, cy + h), slice(cx, cx + w))
-                z_sed[k] = np.asarray(c._sed.state.z)
-                t_sed[k] = float(c._sed.state.t)
-                z_mor[k, dy:dy + h, dx:dx + w] = \
+                z_sed[b][k] = np.asarray(c._sed.state.z)
+                t_sed[b][k] = float(c._sed.state.t)
+                z_mor[b][k, dy:dy + h, dx:dx + w] = \
                     np.asarray(c._morph.state.z)[crop]
-                t_mor[k] = float(c._morph.state.t)
-                fista_steps[k] = float(c._sed.step)
-        self._engine_pads = pads
+                t_mor[b][k] = float(c._morph.state.t)
+                fista_steps[b][k] = float(c._sed.step)
+        self._engine_placements = placements
 
         # exact scene padding: largest padded-box overhang past the scene
         # edges (+1 so dynamic_update_slice never clamps)
-        scene_pad = min(int(max(
-            1,
-            -origins.min(initial=0),
-            (origins[:, 0] + Hb - H).max(initial=0),
-            (origins[:, 1] + Hb - W).max(initial=0),
-        )) + 1, Hb)
+        overhang = 1
+        for b, Hb in enumerate(bucket_sizes):
+            if counts[b] == 0:
+                continue
+            overhang = max(
+                overhang,
+                -origins[b].min(initial=0),
+                (origins[b][:, 0] + Hb - H).max(initial=0),
+                (origins[b][:, 1] + Hb - W).max(initial=0),
+            )
+        scene_pad = min(int(overhang) + 1, max(bucket_sizes))
+
+        mono_n_iters = []
+        for s in bucket_sizes:
+            _, _, n_it = engine.monotonicity_tables((s, s), fc_radius,
+                                                    "angle")
+            mono_n_iters.append(n_it)
 
         config = engine.LiteFitConfig(
             scene_shape=(C, H, W),
-            box_shape=box_shape,
-            n_components=K,
+            box_shapes=tuple((s, s) for s in bucket_sizes),
+            bucket_counts=tuple(counts),
             fft_shape=fft_shape,
+            mono_n_iters=tuple(mono_n_iters),
             floor=floor,
             bg_thresh=bg_thresh,
             e_rel=e_rel,
             min_iter=min_iter,
             fit_center_radius=fc_radius,
-            mono_n_iter=mono_n_iter,
             # VMEM-resident monotonicity kernel on accelerators; the fused
             # XLA path on CPU
             use_pallas=_jax.default_backend() != "cpu",
@@ -574,32 +605,30 @@ class LiteBlend:
             optimizer="fista" if use_fista else "adaprox",
         )
 
-        data = engine.BlendData(
-            images=obs.images,
-            weights=obs.weights,
-            kernel_rfft=None if diff_kernel is None else engine._split_complex(
-                fft_ops.transform(jnp.asarray(diff_kernel), fft_shape,
-                                  (-2, -1))),
-            grad_kernel_rfft=None if diff_kernel is None else
-            engine._split_complex(fft_ops.transform(
-                jnp.asarray(diff_kernel)[..., ::-1, ::-1], fft_shape,
-                (-2, -1))),
-            bg_rms=obs.noise_rms,
-            sed_step_min=obs.noise_rms / 10.0,
-            mono_weights=jnp.asarray(mono_w.astype(dtype)),
-            mono_keep=jnp.asarray(mono_keep),
-            fista_step=jnp.asarray(fista_steps) if use_fista else None,
-        )
+        data = engine.make_blend_data(
+            obs.images, obs.weights, diff_kernel, obs.noise_rms, config)
+        data = data._replace(
+            box_masks=tuple(jnp.asarray(m) for m in box_masks))
+        if use_fista:
+            data = data._replace(
+                fista_step=tuple(jnp.asarray(f) for f in fista_steps))
+
         if use_fista:
             from ..optim import FistaState
 
-            sed_opt = FistaState(z=jnp.asarray(z_sed), t=jnp.asarray(t_sed))
-            morph_opt = FistaState(z=jnp.asarray(z_mor), t=jnp.asarray(t_mor))
+            sed_opt = tuple(
+                FistaState(z=jnp.asarray(z), t=jnp.asarray(t))
+                for z, t in zip(z_sed, t_sed))
+            morph_opt = tuple(
+                FistaState(z=jnp.asarray(z), t=jnp.asarray(t))
+                for z, t in zip(z_mor, t_mor))
         else:
-            sed_opt = engine.init_adaprox_state(
-                jnp.asarray(seds), m=m_sed, v=v_sed, vhat=vhat_sed)
-            morph_opt = engine.init_adaprox_state(
-                jnp.asarray(morphs), m=m_mor, v=v_mor, vhat=vhat_mor)
+            sed_opt = tuple(
+                engine.init_adaprox_state(jnp.asarray(s), m=m, v=v, vhat=vh)
+                for s, m, v, vh in zip(seds, m_sed, v_sed, vhat_sed))
+            morph_opt = tuple(
+                engine.init_adaprox_state(jnp.asarray(s), m=m, v=v, vhat=vh)
+                for s, m, v, vh in zip(morphs, m_mor, v_mor, vhat_mor))
         state = engine.make_blend_state(
             seds, morphs, origins, sed_opt=sed_opt, morph_opt=morph_opt,
         )
@@ -607,8 +636,8 @@ class LiteBlend:
         return config, data, state
 
     def _write_back(self, state):
-        seds = np.asarray(state.seds)
-        morphs = np.asarray(state.morphs)
+        from .parameters import FistaParameter
+        from ..optim import FistaState
 
         def embed(sub, cy, cx, h, w, h0, w0):
             """Place the engine's (possibly cropped) box back into the
@@ -619,37 +648,38 @@ class LiteBlend:
             full[cy:cy + h, cx:cx + w] = np.asarray(sub)
             return jnp.asarray(full)
 
-        for k, c in enumerate(self.components):
-            dy, dx, h, w, cy, cx, h0, w0 = self._engine_pads[k]
+        for ci, c in enumerate(self.components):
+            b, k, dy, dx, h, w, cy, cx, h0, w0 = self._engine_placements[ci]
             sl = (slice(dy, dy + h), slice(dx, dx + w))
-            sed = seds[k]
-            morph = embed(morphs[k][sl], cy, cx, h, w, h0, w0)
-            from .parameters import FistaParameter
-            from ..optim import FistaState
-
+            sed = np.asarray(state.seds[b][k])
+            morph = embed(np.asarray(state.morphs[b][k])[sl], cy, cx, h, w,
+                          h0, w0)
             if isinstance(c._sed, LiteParameter):
                 c._sed.x = jnp.asarray(sed)
                 if isinstance(c._sed, AdaproxParameter):
                     c._sed.state = engine.AdaproxState(
-                        m=state.sed_opt.m[k], v=state.sed_opt.v[k],
-                        vhat=state.sed_opt.vhat[k])
+                        m=state.sed_opt[b].m[k], v=state.sed_opt[b].v[k],
+                        vhat=state.sed_opt[b].vhat[k])
                 elif isinstance(c._sed, FistaParameter):
-                    c._sed.state = FistaState(z=state.sed_opt.z[k],
-                                              t=state.sed_opt.t[k])
+                    c._sed.state = FistaState(z=state.sed_opt[b].z[k],
+                                              t=state.sed_opt[b].t[k])
             else:
                 c._sed = jnp.asarray(sed)
             if isinstance(c._morph, LiteParameter):
                 c._morph.x = morph
                 if isinstance(c._morph, AdaproxParameter):
                     c._morph.state = engine.AdaproxState(
-                        m=embed(state.morph_opt.m[k][sl], cy, cx, h, w, h0, w0),
-                        v=embed(state.morph_opt.v[k][sl], cy, cx, h, w, h0, w0),
-                        vhat=embed(state.morph_opt.vhat[k][sl], cy, cx, h, w,
-                                   h0, w0))
+                        m=embed(np.asarray(state.morph_opt[b].m[k])[sl],
+                                cy, cx, h, w, h0, w0),
+                        v=embed(np.asarray(state.morph_opt[b].v[k])[sl],
+                                cy, cx, h, w, h0, w0),
+                        vhat=embed(np.asarray(state.morph_opt[b].vhat[k])[sl],
+                                   cy, cx, h, w, h0, w0))
                 elif isinstance(c._morph, FistaParameter):
                     c._morph.state = FistaState(
-                        z=embed(state.morph_opt.z[k][sl], cy, cx, h, w, h0, w0),
-                        t=state.morph_opt.t[k])
+                        z=embed(np.asarray(state.morph_opt[b].z[k])[sl],
+                                cy, cx, h, w, h0, w0),
+                        t=state.morph_opt[b].t[k])
             else:
                 c._morph = morph
 

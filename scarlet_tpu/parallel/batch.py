@@ -106,36 +106,31 @@ def make_mesh(n_devices=None, bands=1, devices=None):
 
 
 def shard_batch(data, state, mesh, shard_bands=False):
-    """Place batch pytrees on the mesh: batch axis over "blends"; with
-    ``shard_bands`` the channel axis of image-shaped leaves additionally
-    splits over "bands" (model parallelism — note XLA's CPU FFT rejects
-    sharded-channel layouts, so keep this off for CPU validation runs)."""
-
-    def spec_for(x, chan_axis):
-        if x is None:
-            return None
-        ndim = x.ndim
-        parts = [None] * ndim
-        parts[0] = "blends"
-        if shard_bands and chan_axis is not None and ndim > chan_axis and \
-                mesh.shape["bands"] > 1:
-            parts[chan_axis] = "bands"
-        return NamedSharding(mesh, P(*parts))
+    """Place batch pytrees on the mesh: the batch (leading) axis of every
+    leaf shards over "blends"; with ``shard_bands`` the channel axis of the
+    image/kernel leaves additionally splits over "bands" (model
+    parallelism — note XLA's CPU FFT rejects sharded-channel layouts, so
+    keep this off for CPU validation runs)."""
+    chan_axes = {"images": 1, "weights": 1, "kernel_rfft": 2,
+                 "grad_kernel_rfft": 2, "bg_rms": 1, "sed_step_min": 1}
 
     def put(x, chan_axis=None):
         if x is None:
             return None
-        return jax.device_put(x, spec_for(x, chan_axis))
+        parts = [None] * x.ndim
+        parts[0] = "blends"
+        if shard_bands and chan_axis is not None and x.ndim > chan_axis and \
+                mesh.shape["bands"] > 1:
+            parts[chan_axis] = "bands"
+        return jax.device_put(x, NamedSharding(mesh, P(*parts)))
 
-    data = engine.BlendData(
-        images=put(data.images, 1),
-        weights=put(data.weights, 1),
-        kernel_rfft=put(data.kernel_rfft, 2),       # (B, 2, C, ...)
-        grad_kernel_rfft=put(data.grad_kernel_rfft, 2),
-        bg_rms=put(data.bg_rms, 1),
-        sed_step_min=put(data.sed_step_min, 1),
-        mono_weights=put(data.mono_weights),
-        mono_keep=put(data.mono_keep),
-    )
-    state = jax.tree.map(put, state)
+    def put_tree(t, chan_axis=None):
+        return jax.tree.map(lambda x: put(x, chan_axis), t,
+                            is_leaf=lambda x: x is None)
+
+    data = engine.BlendData(**{
+        name: put_tree(getattr(data, name), chan_axes.get(name))
+        for name in data._fields
+    })
+    state = put_tree(state)
     return data, state

@@ -16,13 +16,11 @@ def test_fit_state_roundtrip(tmp_path):
     config2, state2, data2 = checkpoint.load_fit_state(path)
 
     assert config2 == config
-    for a, b in zip(
-        [state1.seds, state1.morphs, state1.origins, state1.sed_opt.m,
-         state1.morph_opt.vhat, state1.last_loss],
-        [state2.seds, state2.morphs, state2.origins, state2.sed_opt.m,
-         state2.morph_opt.vhat, state2.last_loss],
-    ):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    import jax
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state1, state2)
 
     # resuming from the checkpoint must match an uninterrupted run exactly
     full_state, full_losses = engine.fit_scan(state, data, config, 12)

@@ -50,9 +50,10 @@ class TestBatched:
             np.testing.assert_allclose(
                 np.asarray(batch_losses[:, b]), np.asarray(single_losses),
                 rtol=1e-5)
-            np.testing.assert_allclose(
-                np.asarray(batch_state.seds[b]),
-                np.asarray(single_state.seds), rtol=1e-4, atol=1e-5)
+            jax.tree.map(
+                lambda bt, sg, b=b: np.testing.assert_allclose(
+                    np.asarray(bt[b]), np.asarray(sg), rtol=1e-4, atol=1e-5),
+                batch_state.seds, single_state.seds)
 
     def test_sharded_mesh(self, sim_blend):
         """Batch sharded over an 8-device mesh compiles, runs, and matches
