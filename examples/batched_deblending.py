@@ -32,7 +32,9 @@ with jax.default_device(jax.devices("cpu")[0]):
     config, blend_data, state = blend.engine_setup(e_rel=1e-4)
 
 # ---- replicate into a batch (in production: pack_batch over many blends) --
-BATCH = 256
+import os
+FAST = bool(os.environ.get("SCARLET_TPU_FAST"))
+BATCH = 8 if FAST else 256
 bdata, bstate = parallel.replicate_blend(blend_data, state, BATCH)
 
 # optional: shard over every available device
@@ -41,11 +43,12 @@ bdata, bstate = parallel.shard_batch(bdata, bstate, mesh)
 
 with mesh:
     # warmup/compile
-    out, losses = parallel.fit_batch_converged(bstate, bdata, config, 100)
+    iters = 10 if FAST else 100
+    out, losses = parallel.fit_batch_converged(bstate, bdata, config, iters)
     _ = float(jnp.sum(out.last_loss))
 
     t0 = time.perf_counter()
-    out, losses = parallel.fit_batch_converged(bstate, bdata, config, 100)
+    out, losses = parallel.fit_batch_converged(bstate, bdata, config, iters)
     _ = float(jnp.sum(out.last_loss))
     dt = time.perf_counter() - t0
 

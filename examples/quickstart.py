@@ -31,7 +31,9 @@ sources, skipped = st.initialization.init_all_sources(
 print(f"initialized {len(sources)} sources (skipped {skipped})")
 
 blend = st.Blend(sources, obs)
-it, logL = blend.fit(100, e_rel=1e-4)
+import os
+max_iter = 12 if os.environ.get("SCARLET_TPU_FAST") else 100
+it, logL = blend.fit(max_iter, e_rel=1e-4)
 print(f"fit converged after {it} iterations to logL = {logL:.1f}")
 
 for k, src in enumerate(sources):

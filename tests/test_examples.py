@@ -1,0 +1,23 @@
+"""Run the example scripts end-to-end (the reference's docs-as-tests
+strategy, SURVEY.md §4.2) in fast mode."""
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
+REPO = str(EXAMPLES.parent)
+
+
+@pytest.mark.parametrize("script", ["quickstart.py", "batched_deblending.py"])
+def test_example_runs(script, tmp_path):
+    env = dict(os.environ)
+    env["SCARLET_TPU_FAST"] = "1"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    result = subprocess.run(
+        [sys.executable, str(EXAMPLES / script)],
+        capture_output=True, text=True, cwd=tmp_path, timeout=420, env=env)
+    assert result.returncode == 0, result.stderr[-2000:]
