@@ -91,6 +91,7 @@ class LiteFitConfig:
     min_gradient: float = 0.0
     neighbor_weight: str = "angle"
     use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
+    use_pallas_scene: bool = False  # VMEM scene assembly + grad gather (TPU)
     pallas_interpret: bool = False
     scene_pad: int = -1           # -1: one full (largest) box — always safe
 
@@ -257,6 +258,19 @@ def make_scene(state, config):
     C, H, W = config.scene_shape
     P = config.pad
     dtype = state.morphs[0].dtype
+
+    if config.use_pallas_scene:
+        from ..ops.pallas_kernels import scene_assembly
+
+        scene = None
+        for b in range(config.n_buckets):
+            part = scene_assembly(
+                state.seds[b], state.morphs[b], state.origins[b],
+                state.comp_active[b], config.scene_shape, P,
+                interpret=config.pallas_interpret)
+            scene = part if scene is None else scene + part
+        return scene
+
     scene = jnp.zeros((C, H + 2 * P, W + 2 * P), dtype=dtype)
     zero = jnp.asarray(0, jnp.int32)
 
@@ -405,14 +419,22 @@ def fit_step(state, data, config):
         morphs_b = state.morphs[b]
         on_b = state.comp_active[b]
 
-        def grads(origin, sed, morph):
-            g = jax.lax.dynamic_slice(
-                gpad, (zero, origin[0] + P, origin[1] + P), (C, hb, wb))
-            g_sed = jnp.einsum("chw,hw->c", g, morph)
-            g_morph = jnp.einsum("c,chw->hw", sed, g)
-            return g_sed, g_morph
+        if config.use_pallas_scene:
+            from ..ops.pallas_kernels import grad_gather
 
-        g_seds, g_morphs = jax.vmap(grads)(state.origins[b], seds_b, morphs_b)
+            g_seds, g_morphs = grad_gather(
+                gpad, seds_b, morphs_b, state.origins[b], P,
+                interpret=config.pallas_interpret)
+        else:
+            def grads(origin, sed, morph):
+                g = jax.lax.dynamic_slice(
+                    gpad, (zero, origin[0] + P, origin[1] + P), (C, hb, wb))
+                g_sed = jnp.einsum("chw,hw->c", g, morph)
+                g_morph = jnp.einsum("c,chw->hw", sed, g)
+                return g_sed, g_morph
+
+            g_seds, g_morphs = jax.vmap(grads)(
+                state.origins[b], seds_b, morphs_b)
 
         if config.optimizer == "fista":
             # FISTA steps scale by the squared norm of the other factor

@@ -598,9 +598,10 @@ class LiteBlend:
             e_rel=e_rel,
             min_iter=min_iter,
             fit_center_radius=fc_radius,
-            # VMEM-resident monotonicity kernel on accelerators; the fused
-            # XLA path on CPU
+            # VMEM-resident monotonicity + scene-placement kernels on
+            # accelerators; the fused XLA paths on CPU
             use_pallas=_jax.default_backend() != "cpu",
+            use_pallas_scene=_jax.default_backend() != "cpu",
             scene_pad=scene_pad,
             optimizer="fista" if use_fista else "adaprox",
         )

@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .prox import NEIGHBOR_OFFSETS
 
-__all__ = ["batched_monotonic_prox"]
+__all__ = ["batched_monotonic_prox", "scene_assembly", "grad_gather"]
 
 
 def _roll2(x, dy, dx):
@@ -128,3 +128,117 @@ def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
     out = out.reshape(n_groups, Hb, group, Wb)
     out = jnp.swapaxes(out, 1, 2).reshape(K_pad, Hb, Wb)
     return out[:K]
+
+
+# ---------------------------------------------------------------------------
+# Scene assembly and gradient gathering
+# ---------------------------------------------------------------------------
+def _scene_kernel(org_ref, models_ref, out_ref, *, K, hb, wb, P):
+    """Accumulate each component's (C, hb, wb) model into the padded scene,
+    entirely in VMEM (no HBM round trips per component, unlike vmapped
+    dynamic_update_slice).
+
+    Mosaic does not lower dynamic offsets on the tiled (sublane/lane)
+    dimensions, so instead of a dynamic store each model is padded into the
+    top-left corner and rotated into place with two dynamic circular rolls
+    (tpu.dynamic_rotate); origins are clamped to [0, dim - box] by the
+    caller's padding, so the rotation never wraps."""
+    Hp, Wp = out_ref.shape[-2:]
+    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+    for k in range(K):
+        oy = org_ref[2 * k] + P
+        ox = org_ref[2 * k + 1] + P
+        tile = jnp.pad(models_ref[k], ((0, 0), (0, Hp - hb), (0, Wp - wb)))
+        tile = pltpu.roll(tile, oy, 1)
+        tile = pltpu.roll(tile, ox, 2)
+        acc = acc + tile
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("scene_shape", "pad",
+                                             "interpret"))
+def scene_assembly(seds, morphs, origins, comp_active, scene_shape, pad,
+                   interpret=False):
+    """Scatter-add (K) factorized components into a padded scene, entirely
+    in VMEM.  Returns the (C, H, W) cropped scene."""
+    K, C = seds.shape
+    hb, wb = morphs.shape[-2:]
+    H, W = scene_shape[1:]
+    # Mosaic's dynamic rotate requires tile-aligned rotation dims:
+    # sublanes % 8 == 0, lanes % 128 == 0.  The extra region stays zero and
+    # is cropped away.
+    Hp = -(-(H + 2 * pad) // 8) * 8
+    Wp = -(-(W + 2 * pad) // 128) * 128
+
+    # outer products are vectorized XLA work; the kernel only places
+    models = (seds * comp_active[:, None].astype(seds.dtype))
+    models = models[:, :, None, None] * morphs[:, None]      # (K, C, hb, wb)
+
+    kernel = functools.partial(_scene_kernel, K=K, hb=hb, wb=wb, P=pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # models
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    scene = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((C, Hp, Wp), morphs.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(origins.reshape(-1), models)
+    return scene[:, pad:pad + H, pad:pad + W]
+
+
+def _grad_window_kernel(org_ref, gpad_ref, out_ref, *, K, hb, wb, P):
+    """Rotate each component's gradient window to the top-left corner of
+    the padded gradient scene (inverse of the scene kernel's placement) and
+    slice it statically into the (K, C, hb, wb) output."""
+    Hp, Wp = gpad_ref.shape[-2:]
+    g_all = gpad_ref[...]
+    for k in range(K):
+        oy = org_ref[2 * k] + P
+        ox = org_ref[2 * k + 1] + P
+        g = pltpu.roll(g_all, (Hp - oy) % Hp, 1)
+        g = pltpu.roll(g, (Wp - ox) % Wp, 2)
+        out_ref[k] = g[:, :hb, :wb]                      # (C, hb, wb)
+
+
+@functools.partial(jax.jit, static_argnames=("pad", "interpret"))
+def grad_gather(gpad, seds, morphs, origins, pad, interpret=False):
+    """Per-component (g_sed, g_morph) from the *padded* scene gradient
+    ``gpad`` (padded by ``pad`` on both spatial sides), VMEM-resident.
+
+    Returns ((K, C), (K, hb, wb)).
+    """
+    K, C = seds.shape
+    hb, wb = morphs.shape[-2:]
+    # tile-align the rotation dims (see scene_assembly)
+    Hp, Wp = gpad.shape[-2:]
+    Ht = -(-Hp // 8) * 8
+    Wt = -(-Wp // 128) * 128
+    if (Ht, Wt) != (Hp, Wp):
+        gpad = jnp.pad(gpad, ((0, 0), (0, Ht - Hp), (0, Wt - Wp)))
+
+    kernel = functools.partial(_grad_window_kernel, K=K, hb=hb, wb=wb,
+                               P=pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # gpad
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    gwin = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, C, hb, wb), gpad.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(origins.reshape(-1), gpad)
+    # contractions are vectorized XLA work (lite/models.py:206-216)
+    g_seds = jnp.einsum("kchw,khw->kc", gwin, morphs)
+    g_morphs = jnp.einsum("kchw,kc->khw", gwin, seds)
+    return g_seds, g_morphs

@@ -50,3 +50,77 @@ def test_engine_pallas_interpret_matches_xla():
     assert_allclose(np.asarray(loss_p), np.asarray(loss_x), rtol=1e-5)
     assert_allclose(np.asarray(out_p.morphs), np.asarray(out_x.morphs),
                     rtol=1e-5, atol=1e-6)
+
+
+def _random_bucket(rng, C=5, H=58, W=48, K=10, hb=21, pad=8):
+    seds = jnp.asarray(rng.uniform(0.1, 2, (K, C)).astype(np.float32))
+    morphs = jnp.asarray(rng.uniform(0, 1, (K, hb, hb)).astype(np.float32))
+    # origins anywhere in [-pad+1, dim - hb + pad - 1]: partially
+    # out-of-scene boxes exercise the clipped-overlap padding
+    oy = rng.integers(1 - pad, H - hb + pad, (K, 1))
+    ox = rng.integers(1 - pad, W - hb + pad, (K, 1))
+    origins = jnp.asarray(np.concatenate([oy, ox], 1).astype(np.int32))
+    on = jnp.asarray(rng.uniform(size=K) > 0.2)
+    return seds, morphs, origins, on
+
+
+def test_scene_assembly_matches_xla():
+    """VMEM roll-placement scene kernel == dynamic_update_slice loop."""
+    import dataclasses
+    from scarlet_tpu.lite.engine import LiteFitConfig, make_blend_state, \
+        make_scene
+
+    rng = np.random.default_rng(3)
+    C, H, W, K, hb, pad = 5, 58, 48, 10, 21, 8
+    cfg = LiteFitConfig(scene_shape=(C, H, W), box_shapes=((hb, hb),),
+                        bucket_counts=(K,), fft_shape=None,
+                        mono_n_iters=(14,), scene_pad=pad)
+    seds, morphs, origins, on = _random_bucket(rng, C, H, W, K, hb, pad)
+    state = make_blend_state(seds, morphs, origins, comp_active=on)
+    ref = make_scene(state, cfg)
+    got = make_scene(state, dataclasses.replace(
+        cfg, use_pallas_scene=True, pallas_interpret=True))
+    assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_grad_gather_matches_xla():
+    """VMEM roll-gather gradient kernel == vmapped dynamic_slice einsums."""
+    import jax
+    from scarlet_tpu.ops.pallas_kernels import grad_gather
+
+    rng = np.random.default_rng(4)
+    C, H, W, K, hb, P = 5, 58, 48, 10, 21, 8
+    seds, morphs, origins, _ = _random_bucket(rng, C, H, W, K, hb, P)
+    gpad = jnp.pad(
+        jnp.asarray(rng.normal(size=(C, H, W)).astype(np.float32)),
+        ((0, 0), (P, P), (P, P)))
+    gs, gm = grad_gather(gpad, seds, morphs, origins, P, interpret=True)
+
+    zero = jnp.asarray(0, jnp.int32)
+
+    def grads(origin, sed, morph):
+        g = jax.lax.dynamic_slice(
+            gpad, (zero, origin[0] + P, origin[1] + P), (C, hb, hb))
+        return (jnp.einsum("chw,hw->c", g, morph),
+                jnp.einsum("c,chw->hw", sed, g))
+
+    gs_ref, gm_ref = jax.vmap(grads)(origins, seds, morphs)
+    assert_allclose(np.asarray(gs), np.asarray(gs_ref), rtol=1e-4,
+                    atol=1e-5)
+    assert_allclose(np.asarray(gm), np.asarray(gm_ref), rtol=1e-4,
+                    atol=1e-6)
+
+
+def test_engine_pallas_scene_interpret_matches_xla():
+    """Whole fit scan with the scene/grad kernels equals the XLA path."""
+    import dataclasses
+    import __graft_entry__ as g
+
+    config, data, state = g._demo_setup()
+    out_x, loss_x = engine.fit_scan(state, data, config, 5)
+    config_p = dataclasses.replace(config, use_pallas_scene=True,
+                                   pallas_interpret=True)
+    out_p, loss_p = engine.fit_scan(state, data, config_p, 5)
+    assert_allclose(np.asarray(loss_p), np.asarray(loss_x), rtol=1e-5)
+    assert_allclose(np.asarray(out_p.morphs), np.asarray(out_x.morphs),
+                    rtol=1e-5, atol=1e-6)
