@@ -25,43 +25,57 @@ from .prox import NEIGHBOR_OFFSETS
 __all__ = ["batched_monotonic_prox", "scene_assembly", "grad_gather"]
 
 
-def _roll2(x, dy, dx):
-    """n[y, x] = X[y+dy, x+dx] with circular wrap (weights kill the wrap).
-
-    pltpu.roll requires non-negative shifts; a shift of -s along an axis of
-    size n equals a shift of n - s.
-    """
-    H, W = x.shape
-    out = pltpu.roll(x, (-dy) % H, 0) if dy else x
-    out = pltpu.roll(out, (-dx) % W, 1) if dx else out
-    return out
-
-
 def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
                  keepsel_ref, *, n_iter, scale, group, Wb):
     """One grid step processes ``group`` morphologies packed side by side
-    along the lane axis as (Hb, group*Wb): every Jacobi pass is 8 rolls of
-    one wide 2D array (full VPU lane utilization).  Rolls leak across morph
+    along the lane axis as (Hb, group*Wb): shifts are circular rolls of one
+    wide 2D array (full VPU lane utilization).  Rolls leak across morph
     boundaries and wrap around edges, but both land on pixels whose
     corresponding neighbor weight is zero (out-of-bounds neighbors),
     exactly like the circular-wrap argument for a single morphology.
 
+    The pass is factored by the x-offset: the reference value
+    ``sum_d w_d(p) x(p+dy_d, p+dx_d)`` is evaluated as
+    ``S_0 + roll_x(S_-1, -1) + roll_x(S_+1, +1)`` with
+    ``S_dx = sum_dy w'_{dy,dx} * roll_y(x, dy)`` and the weight tables
+    pre-shifted along x at gather time (``w'(q) = w(q - dx)``), so every
+    Jacobi pass costs 4 rolls instead of 12.  Pre-shifting is exact: the
+    columns a shifted table exposes at morph boundaries are out-of-bounds
+    weights, which are zero.
+
     Per-morph candidate weight tables are gathered into VMEM scratch once
     per group, amortized over all passes."""
     k = pl.program_id(0)
+    Hb = x_ref.shape[-2]
+    wsel_ref[...] = jnp.zeros(wsel_ref.shape, wsel_ref.dtype)
     for g in range(group):
         ci = idx_ref[k * group + g]
-        wsel_ref[:, :, g * Wb:(g + 1) * Wb] = wtab_ref[ci]
-        keepsel_ref[:, g * Wb:(g + 1) * Wb] = keep_ref[ci]
+        c0 = g * Wb
+        for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            # w'(q) = w(q - dx): shift content right by dx (zero edge col)
+            lo, hi = max(0, dx), Wb + min(0, dx)
+            wsel_ref[d, :, c0 + lo:c0 + hi] = \
+                wtab_ref[ci, d][:, lo - dx:hi - dx]
+        keepsel_ref[:, c0:c0 + Wb] = keep_ref[ci]
 
     x0 = x_ref[0]
     w = wsel_ref[:]
     keep = keepsel_ref[:]
+    gW = group * Wb
 
     def body(_, x):
-        ref = w[0] * _roll2(x, *NEIGHBOR_OFFSETS[0])
-        for d in range(1, 8):
-            ref = ref + w[d] * _roll2(x, *NEIGHBOR_OFFSETS[d])
+        rows = {
+            -1: pltpu.roll(x, 1, 0),          # X[y-1]  (dy = -1)
+            0: x,
+            1: pltpu.roll(x, Hb - 1, 0),      # X[y+1]  (dy = +1)
+        }
+        cols = {-1: None, 0: None, 1: None}
+        for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            t = w[d] * rows[dy]
+            cols[dx] = t if cols[dx] is None else cols[dx] + t
+        ref = (cols[0]
+               + pltpu.roll(cols[-1], 1, 1)    # shift_x by -1
+               + pltpu.roll(cols[1], gW - 1, 1))  # shift_x by +1
         new = jnp.minimum(x0, ref * scale)
         return keep * x0 + (1.0 - keep) * new
 
