@@ -85,7 +85,7 @@ def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
 @functools.partial(jax.jit, static_argnames=("n_iter", "min_gradient",
                                              "interpret", "group"))
 def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
-                           min_gradient=0.0, interpret=False, group=8):
+                           min_gradient=0.0, interpret=False, group=None):
     """Radially monotonic projection of a stack of morphologies.
 
     Parameters
@@ -95,12 +95,18 @@ def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
     weights_table: (ncand, 8, Hb, Wb) float32
     keep_table: (ncand, Hb, Wb) float32 — 1.0 at the (never-updated) center
     n_iter: static int — Jacobi passes (the DAG depth for exactness)
-    group: static int — morphologies per grid step (batched rolls)
+    group: static int — morphologies per grid step (batched rolls);
+        None picks the whole stack when it fits a lane budget, so no grid
+        step processes padding slots
 
     Equivalent to ``prox_weighted_monotonic`` per slice with the selected
     weight table; exact for ``n_iter >= monotonic_depth``.
     """
     K, Hb, Wb = morphs.shape
+    if group is None:
+        # one grid step for the whole stack when the packed width stays
+        # within a healthy lane budget (avoids processing padding slots)
+        group = K if K * Wb <= 4096 else 8
     group = max(1, min(group, K))
     K_pad = -(-K // group) * group
     if K_pad != K:
@@ -152,21 +158,22 @@ def _scene_kernel(org_ref, models_ref, out_ref, *, K, hb, wb, P):
     entirely in VMEM (no HBM round trips per component, unlike vmapped
     dynamic_update_slice).
 
-    Mosaic does not lower dynamic offsets on the tiled (sublane/lane)
-    dimensions, so instead of a dynamic store each model is padded into the
-    top-left corner and rotated into place with two dynamic circular rolls
-    (tpu.dynamic_rotate); origins are clamped to [0, dim - box] by the
-    caller's padding, so the rotation never wraps."""
-    Hp, Wp = out_ref.shape[-2:]
-    acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+    Mosaic does not lower dynamic offsets on the lane dimension, so the
+    x-placement pads each model to the full lane width and rotates it into
+    column position with one dynamic circular roll (tpu.dynamic_rotate;
+    requires lane dim % 128 == 0); origins are clamped to [0, dim - box] by
+    the caller's padding, so the rotation never wraps.  The y-placement is
+    a dynamic-sublane-offset read-modify-write, which Mosaic does support,
+    so only a (C, hb, Wp) band is touched per component."""
+    Wp = out_ref.shape[-1]
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     for k in range(K):
         oy = org_ref[2 * k] + P
         ox = org_ref[2 * k + 1] + P
-        tile = jnp.pad(models_ref[k], ((0, 0), (0, Hp - hb), (0, Wp - wb)))
-        tile = pltpu.roll(tile, oy, 1)
+        tile = jnp.pad(models_ref[k], ((0, 0), (0, 0), (0, Wp - wb)))
         tile = pltpu.roll(tile, ox, 2)
-        acc = acc + tile
-    out_ref[...] = acc
+        cur = out_ref[:, pl.ds(oy, hb), :]
+        out_ref[:, pl.ds(oy, hb), :] = cur + tile
 
 
 @functools.partial(jax.jit, static_argnames=("scene_shape", "pad",
@@ -207,17 +214,16 @@ def scene_assembly(seds, morphs, origins, comp_active, scene_shape, pad,
 
 
 def _grad_window_kernel(org_ref, gpad_ref, out_ref, *, K, hb, wb, P):
-    """Rotate each component's gradient window to the top-left corner of
-    the padded gradient scene (inverse of the scene kernel's placement) and
-    slice it statically into the (K, C, hb, wb) output."""
-    Hp, Wp = gpad_ref.shape[-2:]
-    g_all = gpad_ref[...]
+    """Slice each component's gradient band with a dynamic sublane offset,
+    rotate its columns to the left edge (inverse of the scene kernel's
+    placement), and slice statically into the (K, C, hb, wb) output."""
+    Wp = gpad_ref.shape[-1]
     for k in range(K):
         oy = org_ref[2 * k] + P
         ox = org_ref[2 * k + 1] + P
-        g = pltpu.roll(g_all, (Hp - oy) % Hp, 1)
+        g = gpad_ref[:, pl.ds(oy, hb), :]                # (C, hb, Wp)
         g = pltpu.roll(g, (Wp - ox) % Wp, 2)
-        out_ref[k] = g[:, :hb, :wb]                      # (C, hb, wb)
+        out_ref[k] = g[:, :, :wb]                        # (C, hb, wb)
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "interpret"))
