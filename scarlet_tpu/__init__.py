@@ -45,6 +45,7 @@ from .models import (  # noqa: F401
     Renderer,
     NullRenderer,
     ConvolutionRenderer,
+    ResolutionRenderer,
     Observation,
     Spectrum,
     TabulatedSpectrum,
@@ -74,3 +75,5 @@ from .models import (  # noqa: F401
 )
 from . import measure  # noqa: F401
 from . import display  # noqa: F401
+from . import operator  # noqa: F401
+from . import testing  # noqa: F401

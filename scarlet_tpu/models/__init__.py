@@ -18,6 +18,7 @@ from .constraint import (  # noqa: F401
 from .psf import PSF, FunctionPSF, GaussianPSF, MoffatPSF, ImagePSF, normalize  # noqa: F401
 from .frame import Frame  # noqa: F401
 from .renderer import Renderer, NullRenderer, ConvolutionRenderer  # noqa: F401
+from .resolution import ResolutionRenderer  # noqa: F401
 from .observation import Observation  # noqa: F401
 from .spectrum import Spectrum, TabulatedSpectrum  # noqa: F401
 from .morphology import (  # noqa: F401
