@@ -447,7 +447,7 @@ class LiteBlend:
 
         ``bucket_mode``: "single" packs every component into one physical
         box bucket (fewer op streams — faster on TPU at typical sizes) with
-        per-component logical-box masks; "size" groups components into
+        per-component logical-box masks; "per-size" groups components into
         per-size buckets (less per-pixel work when sizes vary wildly).
         """
         return self._engine_setup(e_rel, min_iter, bucket_mode=bucket_mode)
@@ -455,6 +455,10 @@ class LiteBlend:
     def _engine_setup(self, e_rel, min_iter, bucket_mode="single"):
         import jax as _jax
 
+        if bucket_mode not in ("single", "per-size"):
+            raise ValueError(
+                f"bucket_mode must be 'single' or 'per-size', "
+                f"got {bucket_mode!r}")
         obs = self.observation
         comps = self.components
         C, H, W = obs.shape
@@ -684,13 +688,18 @@ class LiteBlend:
             else:
                 c._morph = morph
 
-    def fit(self, max_iter, e_rel=1e-4, min_iter=1, resize=10, reweight=True):
+    def fit(self, max_iter, e_rel=1e-4, min_iter=1, resize=10, reweight=True,
+            bucket_mode="single"):
         """Fit all components with the compiled engine.
 
         ``resize``: every ``resize`` iterations the scan is interrupted for a
         host-side box-resize check (grow/shrink), mirroring the reference
         cadence (lite/models.py:613-616); ``resize=None`` runs one
         uninterrupted scan.
+
+        ``bucket_mode``: "single" (default) packs every component into one
+        physical box size; "per-size" groups components by their quantized
+        box size (see :meth:`engine_setup`).
         """
         from .measure import weight_sources
 
@@ -698,7 +707,8 @@ class LiteBlend:
         segment = max_iter if resize is None else int(resize)
         while total < max_iter:
             n = min(segment, max_iter - total)
-            config, data, state = self._engine_setup(e_rel, min_iter)
+            config, data, state = self._engine_setup(
+                e_rel, min_iter, bucket_mode=bucket_mode)
             state, losses = engine.fit_scan(state, data, config, n)
             ran = int(state.it) - self.it
             self.loss.extend(np.asarray(losses)[:ran].tolist())

@@ -29,3 +29,21 @@ def test_deblend_and_measure(tmp_path):
     assert len(stored) == 1
     residuals = list((tmp_path / "test" / "residuals").glob("*.npz"))
     assert len(residuals) == 1
+
+
+def test_deblend_unmatched_psf_sim(tmp_path):
+    """Blend set 3 (psf_unmatched_sim.npz): per-band PSFs force per-band
+    difference kernels in the renderer; flux recovery must survive the
+    mismatch (reference BASELINE.json configs include this set)."""
+    results = harness.deblend_and_measure(
+        set_ids=(3,), save=False, branch="test", root=tmp_path)
+    rec = results[3][0]
+    assert rec["iterations"] > 1
+    assert np.isfinite(rec["logL"])
+    assert rec["logL"] > rec["init logL"]
+    diffs = [
+        s[f"{c} diff"] for s in rec["sources"]
+        for c in "ugrizy" if f"{c} diff" in s
+    ]
+    assert len(diffs) > 0
+    assert np.median(np.abs(diffs)) < 0.75
