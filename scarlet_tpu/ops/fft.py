@@ -224,6 +224,14 @@ class Fourier:
         # simplicity we only propagate the real image and re-FFT on demand.
         return Fourier(self._image[index])
 
+    def __array__(self, dtype=None, copy=None):
+        # without this, np.asarray falls back to the sequence protocol via
+        # __len__/__getitem__ and recurses into per-row Fourier objects
+        import numpy as _np
+
+        arr = _np.asarray(self._image)
+        return arr.astype(dtype) if dtype is not None else arr
+
 
 def _as_fourier(x):
     return x if isinstance(x, Fourier) else Fourier(x)
