@@ -480,9 +480,10 @@ class LiteBlend:
         nb = len(bucket_sizes)
 
         if obs.diff_kernel is not None:
-            fft_shape = fft_ops.good_fft_shape_even(
-                obs.images, obs.diff_kernel.image, padding=obs.padding,
-                axes=(1, 2))
+            # smallest exact (even, 5-smooth) shape: radix-5 FFT sizes are
+            # faster on TPU than the larger next_fast_len choices
+            fft_shape = fft_ops.minimal_even_fft_shape(
+                obs.images, obs.diff_kernel.image, axes=(1, 2))
             diff_kernel = obs.diff_kernel.image
         else:
             fft_shape = None
