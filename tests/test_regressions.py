@@ -31,6 +31,19 @@ def test_deblend_and_measure(tmp_path):
     assert len(residuals) == 1
 
 
+def test_deblend_hsc_cosmos_no_variance():
+    """hsc_cosmos.npz has no variance plane: the harness's robust per-band
+    MAD estimate must still produce a converging fit on real data."""
+    d = np.load("/root/reference/data/hsc_cosmos.npz", allow_pickle=True)
+    data = {k: d[k] for k in d.keys()}
+    assert "variance" not in data
+    sources, blend, rec = harness.deblend(data, max_iter=30)
+    assert rec["n_sources"] == 6
+    assert rec["iterations"] > 1
+    assert np.isfinite(rec["logL"])
+    assert rec["logL"] > rec["init logL"]
+
+
 def test_deblend_unmatched_psf_sim(tmp_path):
     """Blend set 3 (psf_unmatched_sim.npz): per-band PSFs force per-band
     difference kernels in the renderer; flux recovery must survive the
