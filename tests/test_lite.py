@@ -127,3 +127,33 @@ class TestFistaEngine:
         chi2_dof = float(np.mean(
             np.asarray(obs.weights) * (np.asarray(obs.images) - model) ** 2))
         assert chi2_dof < 1.5, f"FISTA chi2/dof = {chi2_dof}"
+
+
+def test_lite_display_smoke(sim_observation):
+    """Lite display: show_scene / show_sources / compare_spectra render
+    without error on a fitted blend (matplotlib Agg)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from scarlet_tpu.lite import display as ldisplay
+
+    obs, centers, catalog = sim_observation
+    sources = lite.init_all_sources_main(obs, centers, min_snr=50)
+    sources = lite.parameterize_sources(
+        sources, obs, lite.init_adaprox_component)
+    blend = lite.LiteBlend(sources, obs)
+    blend.fit(5, e_rel=1e-4, resize=None)
+
+    fig = ldisplay.show_scene(blend, show_model=True, show_rendered=True,
+                              show_observed=True, show_residual=True)
+    assert fig is not None
+    plt.close(fig)
+    fig = ldisplay.show_sources(blend, sources=blend.sources[:2],
+                                show_model=True, show_rendered=True,
+                                show_observed=True)
+    assert fig is not None
+    plt.close(fig)
+    # one kwarg per deblending run, each a full source list
+    fig = ldisplay.compare_spectra(run1=blend.sources, run2=blend.sources)
+    assert fig is not None
+    plt.close("all")
