@@ -60,17 +60,22 @@ def replicate_blend(data, state, batch):
     )
 
 
-@partial(jax.jit, static_argnames=("config", "n_iter"))
-def fit_batch(state, data, config, n_iter):
-    """Run ``n_iter`` fit iterations over a batch of blends as one compiled
-    scan-of-vmap.  Returns (final_state, losses (n_iter, B))."""
-
+def _fit_batch(state, data, config, n_iter):
     def body(s, _):
         s2, logL = jax.vmap(lambda st, dt: engine.fit_step(st, dt, config))(
             s, data)
         return s2, logL
 
     return jax.lax.scan(body, state, None, length=n_iter)
+
+
+fit_batch = partial(jax.jit, static_argnames=("config", "n_iter"))(_fit_batch)
+
+# Segment-loop variant: the input state buffers are donated so XLA aliases
+# them with the output state (no fresh ~state-size allocation per segment).
+_fit_batch_donating = partial(
+    jax.jit, static_argnames=("config", "n_iter"), donate_argnums=(0,)
+)(_fit_batch)
 
 
 def fit_batch_converged(state, data, config, max_iter, segment=10):
@@ -82,11 +87,16 @@ def fit_batch_converged(state, data, config, max_iter, segment=10):
     the batched analog of the reference's per-blend e_rel stop.
     Returns (final_state, losses (<=max_iter, B)).
     """
+    # defensive copy so donating the segment inputs never invalidates the
+    # caller's state buffers
+    state = jax.tree.map(
+        lambda x: None if x is None else jnp.copy(x), state,
+        is_leaf=lambda x: x is None)
     losses = []
     done = 0
     while done < max_iter:
         n = min(segment, max_iter - done)
-        state, seg_losses = fit_batch(state, data, config, n)
+        state, seg_losses = _fit_batch_donating(state, data, config, n)
         losses.append(seg_losses)
         done += n
         if not bool(jnp.any(state.active)):
