@@ -145,10 +145,15 @@ class ConvolutionRenderer(Renderer):
             "`convolution` must be either 'real' or 'fft'"
         self._convolution_type = convolution_type
 
-        # 2D region covered by data inside the model frame (translation only)
+        # 2D region covered by data inside the model frame (translation only,
+        # ref renderer.py:187-192).  The box extent is exactly the data
+        # frame's spatial shape — deriving it from round(max)+1 (as the
+        # reference does) is fragile under the ~1e-13 noise of the WCS
+        # round-trip when grids sit at half-pixel offsets.
         pixel_in_model_frame = data_frame.convert_pixel_to(model_frame)
-        ll = np.round(pixel_in_model_frame.min(axis=0)).astype(int)
-        ur = np.round(pixel_in_model_frame.max(axis=0)).astype(int) + 1
+        mins = pixel_in_model_frame.min(axis=0)
+        ll = np.round(mins).astype(int)
+        ur = ll + np.asarray(data_frame.shape[-2:], int)
         bounds = (ll[0], ur[0]), (ll[1], ur[1])
         data_box = model_frame.bbox[0] @ Box.from_bounds(*bounds)
         self.slices = overlapped_slices(data_box, model_frame.bbox)
@@ -158,6 +163,18 @@ class ConvolutionRenderer(Renderer):
             model_frame.dtype)
         self.diff_kernel = fft_ops.match_psf(
             fft_ops.Fourier(psf), fft_ops.Fourier(model_psf), padding=padding)
+
+        # Same-scale grids can still sit at a fractional pixel offset (e.g.
+        # concentric even- and odd-sized frames are exactly half a pixel
+        # apart). Fold the subpixel residual into the difference kernel as a
+        # one-time Fourier shift so the sliced render lands on the data grid
+        # (the reference's integer-only slicing loses this, renderer.py:190).
+        frac = mins - ll
+        if np.any(np.abs(frac) > 1e-6):
+            shifted = fft_ops.shift(self.diff_kernel.image,
+                                    jnp.asarray(-frac, model_frame.dtype),
+                                    axes=(-2, -1), return_fourier=False)
+            self.diff_kernel = fft_ops.Fourier(shifted)
 
         # precompute kernel rFFT for the model-shaped hot path (smallest
         # exact even 5-smooth shape: fastest on the TPU FFT)

@@ -255,7 +255,9 @@ def get_angles(frame_wcs, model_wcs):
     model_framevector = np.sum(model_affine, axis=0)[:2] / model_pix
     self_framevector /= np.sum(self_framevector ** 2) ** 0.5
     model_framevector /= np.sum(model_framevector ** 2) ** 0.5
-    sin_rot = np.cross(self_framevector, model_framevector)
+    # 2D cross product (np.cross on 2-vectors is removed in numpy >= 2.0)
+    sin_rot = (self_framevector[0] * model_framevector[1]
+               - self_framevector[1] * model_framevector[0])
     cos_rot = np.dot(self_framevector, model_framevector)
     return [cos_rot, sin_rot], h
 

@@ -10,7 +10,7 @@ import numpy as np
 
 from .wcs import AffineWCS
 
-__all__ = ["read_fits"]
+__all__ = ["read_fits", "read_pickled_wcs"]
 
 _BITPIX_DTYPE = {
     8: np.uint8,
@@ -37,6 +37,90 @@ def _parse_card(card):
         return key, int(value)
     except ValueError:
         return key, value
+
+
+def _wcs_from_header(header, array_shape=None):
+    """Build an AffineWCS from a FITS header card dict (or None)."""
+    if "CRPIX1" not in header:
+        return None
+    crpix = np.array([header["CRPIX1"], header["CRPIX2"]], float)
+    crval = np.array([header.get("CRVAL1", 0.0),
+                      header.get("CRVAL2", 0.0)], float)
+    if "CD1_1" in header:
+        pc = np.array([
+            [header["CD1_1"], header.get("CD1_2", 0.0)],
+            [header.get("CD2_1", 0.0), header["CD2_2"]],
+        ])
+        cdelt = np.ones(2)
+    else:
+        cdelt = np.array([header.get("CDELT1", 1.0),
+                          header.get("CDELT2", 1.0)])
+        pc = np.array([
+            [header.get("PC1_1", 1.0), header.get("PC1_2", 0.0)],
+            [header.get("PC2_1", 0.0), header.get("PC2_2", 1.0)],
+        ])
+    ctype = (header.get("CTYPE1", "RA---TAN"),
+             header.get("CTYPE2", "DEC--TAN"))
+    return AffineWCS(crpix=crpix, crval=crval, pc=pc, cdelt=cdelt,
+                     ctype=ctype, array_shape=array_shape)
+
+
+def _header_from_bytes(raw):
+    """Parse FITS header cards from a bytes blob into a dict."""
+    text = raw.decode("ascii", errors="replace")
+    header = {}
+    for i in range(0, len(text), 80):
+        card = text[i:i + 80]
+        if card.startswith("END"):
+            break
+        key, val = _parse_card(card)
+        if val is not None:
+            header[key] = val
+    return header
+
+
+def read_pickled_wcs(npz_path, key="wcs"):
+    """Extract astropy-pickled WCS entries from an npz WITHOUT astropy.
+
+    astropy serializes ``astropy.wcs.WCS`` as
+    ``__WCS_unpickle__(WCS, state_dict, fits_header_bytes)``; a stub
+    unpickler intercepts that call, parses the embedded FITS header with
+    this module's card parser, and returns :class:`AffineWCS` objects
+    (array_shape restored from the pickled ``_naxis``).  Used to load the
+    reference's multi-resolution acceptance data
+    (reference tests/test_multiresolution.py:52-62) in an astropy-free
+    runtime.  Returns a list of AffineWCS (or None for non-WCS entries).
+    """
+    import io
+    import pickle
+    import zipfile
+    from numpy.lib import format as _npformat
+
+    class _StubWCS:
+        def __init__(self, *a, **k):
+            pass
+
+    def _unpickle_wcs(cls, dct, fits_bytes):
+        header = _header_from_bytes(fits_bytes)
+        naxis = dct.get("_naxis") if isinstance(dct, dict) else None
+        # _naxis is (nx, ny); array_shape follows numpy (ny, nx)
+        array_shape = tuple(int(n) for n in naxis[::-1]) if naxis else None
+        return _wcs_from_header(header, array_shape=array_shape)
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.startswith("astropy"):
+                if name == "__WCS_unpickle__":
+                    return _unpickle_wcs
+                return _StubWCS
+            return super().find_class(module, name)
+
+    with zipfile.ZipFile(npz_path) as z:
+        f = io.BytesIO(z.read(key + ".npy"))
+        version = _npformat.read_magic(f)
+        _npformat._read_array_header(f, version)
+        arr = _Unpickler(f).load()
+    return list(arr)
 
 
 def read_fits(path, hdu=0):
@@ -78,27 +162,5 @@ def read_fits(path, hdu=0):
         # skip data (padded to 2880)
         offset += (nbytes + 2879) // 2880 * 2880
 
-    wcs = None
-    if "CRPIX1" in header:
-        crpix = np.array([header["CRPIX1"], header["CRPIX2"]], float)
-        crval = np.array([header.get("CRVAL1", 0.0),
-                          header.get("CRVAL2", 0.0)], float)
-        if "CD1_1" in header:
-            cd = np.array([
-                [header["CD1_1"], header.get("CD1_2", 0.0)],
-                [header.get("CD2_1", 0.0), header["CD2_2"]],
-            ])
-            cdelt = np.ones(2)
-            pc = cd
-        else:
-            cdelt = np.array([header.get("CDELT1", 1.0),
-                              header.get("CDELT2", 1.0)])
-            pc = np.array([
-                [header.get("PC1_1", 1.0), header.get("PC1_2", 0.0)],
-                [header.get("PC2_1", 0.0), header.get("PC2_2", 1.0)],
-            ])
-        ctype = (header.get("CTYPE1", "RA---TAN"),
-                 header.get("CTYPE2", "DEC--TAN"))
-        wcs = AffineWCS(crpix=crpix, crval=crval, pc=pc, cdelt=cdelt,
-                        ctype=ctype, array_shape=shape[-2:] if shape else None)
+    wcs = _wcs_from_header(header, array_shape=shape[-2:] if shape else None)
     return data, header, wcs

@@ -85,22 +85,63 @@ class TestConstraints:
         assert all(np.abs(X_[mask]) == 0)
         assert_almost_equal(np.abs(X_[~mask]), np.abs(np.abs(X[~mask]) - thresh))
 
+    @staticmethod
+    def _reference_threshold_oracle(morph):
+        """The reference's *current* threshold algorithm, transcribed from
+        scarlet/constraint.py:165-180 in pure numpy so it can execute here
+        (the reference package itself cannot: proxmin/autograd absent)."""
+        _morph = morph[morph > 0]
+        _bins = 50
+        if _morph.size < 500:
+            _bins = max(int(_morph.size / 10), 1)
+            if _bins == 1:
+                return 0, _bins
+        hist, bins = np.histogram(np.log10(_morph).reshape(-1), _bins)
+        cutoff = np.where(hist == 0)[0]
+        if len(cutoff) == 0:
+            return 0, _bins
+        return 10 ** bins[cutoff[-1]], _bins
+
+    @staticmethod
+    def _reference_gaussian_psf_oracle(sigma=1.0, boxsize=21):
+        """The reference's GaussianPSF (erfc pixel integration + unit-sum
+        normalization), transcribed from scarlet/psf.py:9-17,64-70,128-141."""
+        import scipy.special
+
+        grid = np.arange(boxsize) - (boxsize // 2)
+        sqrt2 = np.sqrt(2)
+        f = (np.sqrt(np.pi / 2) * sigma
+             * (1 - scipy.special.erfc((0.5 - grid) / (sqrt2 * sigma))
+                + 1 - scipy.special.erfc((2 * grid + 1) / (2 * sqrt2 * sigma))))
+        psf = f[:, None] * f[None, :]
+        return psf / psf.sum()
+
     def test_threshold(self):
         # Mirrors the reference regression (tests/test_constraint.py:74-91).
-        # The reference test pins 0.05704869232578929 "from reference
-        # version" — a historical value from an older scarlet; running the
-        # reference's *current* algorithm (verified independently with pure
-        # scipy/numpy) on this seeded input gives 0.05838273148820266, which
-        # is the value we pin.
+        # The reference test pins 0.05704869232578929 annotated "thresh from
+        # reference version" — a historical value from an older scarlet.
+        # Running the reference's *current* algorithm (transcribed verbatim
+        # below as an executable oracle) on the identically-seeded input
+        # gives 0.05838273148820266; we assert bit-exact agreement with that
+        # oracle at every stage (PSF model, threshold, bins), settling that
+        # the old constant is stale, not that our algorithm diverges.
         np.random.seed(0)
         noise = np.random.rand(21, 21) * 2
         signal = np.zeros(noise.shape)
         psf = np.asarray(st.GaussianPSF(sigma=1, boxsize=21).get_model())
+
+        # stage 1: our GaussianPSF == the reference's erfc-integrated PSF
+        psf_oracle = self._reference_gaussian_psf_oracle(sigma=1.0, boxsize=21)
+        assert_almost_equal(psf[0], psf_oracle, decimal=12)
+
         signal[7:14, 7:14] = psf[0, 7:14, 7:14]
         X = signal + noise
 
+        # stage 2: our threshold == the reference's current algorithm
+        thresh_oracle, bins_oracle = self._reference_threshold_oracle(X)
         thresh, _bins = prox_ops.threshold(X)
-        assert _bins == 44
+        assert _bins == bins_oracle == 44
+        assert thresh == thresh_oracle
         assert_almost_equal(thresh, 0.05838273148820266)
 
         constraint = st.ThresholdConstraint()
