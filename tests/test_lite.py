@@ -113,6 +113,50 @@ class TestLiteEndToEnd:
             fftd[:, k:-k, k:-k], real[:, k:-k, k:-k], rtol=1e-3, atol=1e-4)
 
 
+class TestEngineF32VsF64:
+    def test_f32_engine_tracks_f64_oracle(self, sim_observation):
+        """The production engine runs f32 on TPU; the tests otherwise run
+        f64. Guard the shipped numerics: an f32 fit segment must track the
+        f64 oracle's loss trajectory to ~1e-4 relative."""
+        import jax
+        import jax.numpy as jnp
+        from scarlet_tpu.lite import engine
+
+        obs, centers, catalog = sim_observation
+        sources = lite.init_all_sources_main(obs, centers, min_snr=50)
+        sources = lite.parameterize_sources(
+            sources, obs, lite.init_adaprox_component)
+        blend = lite.LiteBlend(sources, obs)
+        # disable the e_rel stop: the |dL| < e_rel |L| cutoff fires at
+        # different iterations in f32 vs f64 (a hard rule amplifies tiny
+        # loss noise into a different stop point), which is legitimate but
+        # makes trajectories incomparable after one of them freezes
+        config, data, state = blend.engine_setup(e_rel=0.0)
+
+        def cast(tree, dtype):
+            return jax.tree.map(
+                lambda x: x.astype(dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                          jnp.floating)
+                else x, tree)
+
+        n = 150
+        _, losses32 = engine.fit_scan(cast(state, jnp.float32),
+                                      cast(data, jnp.float32), config, n)
+        _, losses64 = engine.fit_scan(cast(state, jnp.float64),
+                                      cast(data, jnp.float64), config, n)
+        l32 = np.asarray(losses32, np.float64)
+        l64 = np.asarray(losses64, np.float64)
+        assert np.all(np.isfinite(l32)) and np.all(np.isfinite(l64))
+        rel = np.abs(l32 - l64) / np.abs(l64)
+        # early descent may diverge by a few % (hard-threshold prox switches
+        # amplify rounding); late fit must track to ~1e-3
+        assert rel[-1] < 2e-3, f"f32 final loss drifts from f64: {rel[-1]}"
+        assert rel[n // 3:].max() < 5e-3, (
+            f"f32 late-fit drift: {rel[n // 3:].max()}")
+        assert rel.max() < 5e-2, f"f32 diverges mid-fit: max rel {rel.max()}"
+
+
 class TestFistaEngine:
     def test_fista_fit(self, sim_observation):
         obs, centers, catalog = sim_observation
