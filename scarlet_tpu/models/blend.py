@@ -88,7 +88,13 @@ class Blend(CombinedComponent):
 
     def _make_step_fn(self, X, free, scheme, b1, b2, eps, p_pow,
                       prox_max_iter, noise_factor):
-        """Build the jit-compiled update step over the free parameters."""
+        """Build the jit-compiled update step over the free parameters.
+
+        Returns ``(step, segment)``: ``step`` runs one iteration (loss at
+        the incoming values, then the adaprox update); ``segment`` runs
+        ``n`` such iterations as one compiled ``lax.scan`` with the
+        convergence test (|dL| < e_rel |L|, blend.py:294-296) evaluated
+        device-side so the host only syncs at segment boundaries."""
         n_model = len(self.parameters)
         fixed_vals = [None if k in free else x.value for k, x in enumerate(X)]
         steps = [x.step for x in X]
@@ -122,8 +128,7 @@ class Blend(CombinedComponent):
 
         loss_grad = jax.value_and_grad(neg_logL)
 
-        @jax.jit
-        def step(free_vals, opt_states, it, data_weights):
+        def _update(free_vals, opt_states, it, data_weights):
             loss, grads = loss_grad(free_vals, data_weights)
             new_vals = []
             new_states = []
@@ -145,11 +150,51 @@ class Blend(CombinedComponent):
                 new_states.append(st_new)
             return new_vals, new_states, loss
 
-        return step
+        step = jax.jit(_update)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def segment(free_vals, opt_states, it0, data_weights, last_loss,
+                    e_rel, min_iter, n):
+            def body(carry, _):
+                vals, opts, last, active, n_done = carry
+                cur_it = it0 + n_done.astype(it0.dtype)
+                new_vals, new_opts, loss = _update(vals, opts, cur_it,
+                                                   data_weights)
+                # the iteration that detects convergence is still applied
+                # and recorded (blend.py:180-196 ordering: step -> append
+                # loss -> callback raises StopIteration)
+                vals = [jnp.where(active, nv, v)
+                        for nv, v in zip(new_vals, vals)]
+                opts = jax.tree.map(
+                    lambda nv, v: jnp.where(active, nv, v), new_opts, opts)
+                executed = active
+                n_done = n_done + active.astype(n_done.dtype)
+                converged = (it0 + n_done > min_iter) & (
+                    jnp.abs(loss - last) < e_rel * jnp.abs(loss))
+                last = jnp.where(active, loss, last)
+                active = active & ~converged
+                return (vals, opts, last, active, n_done), (loss, executed)
+
+            init = (free_vals, opt_states, last_loss,
+                    jnp.asarray(True), jnp.asarray(0, jnp.int32))
+            carry, (losses, executed) = jax.lax.scan(body, init, None,
+                                                     length=n)
+            return carry, losses, executed
+
+        return step, segment
 
     def fit(self, max_iter=200, e_rel=1e-3, min_iter=1, noise_factor=0,
-            **alg_kwargs):
+            segment=10, **alg_kwargs):
         """Fit all free parameters.  Ref: scarlet/blend.py:85-198.
+
+        ``segment`` iterations run as one compiled ``lax.scan`` between
+        host syncs; the device-side convergence mask freezes updates the
+        moment |dL| < e_rel |L| fires, so the iterate sequence is identical
+        to per-iteration stepping (``segment=1``).  Host work — parameter
+        write-back, finite checks, box-resize ``src.update()`` — happens at
+        segment boundaries, which align with the reference's every-10-its
+        update cadence (blend.py:283-289).  A per-iteration ``callback`` or
+        ``noise_factor`` re-draws force ``segment=1``.
 
         Returns (n_iterations, final logL).
         """
@@ -161,12 +206,18 @@ class Blend(CombinedComponent):
         eps = alg_kwargs.pop("eps", 1e-8)
         p_pow = alg_kwargs.pop("p", 0.25)
         self._noise_factor = noise_factor
+        if callback is not None or noise_factor > 0:
+            segment = 1
+        # source updates fire at it % 10 == 0 — segments must not straddle
+        # those boundaries
+        segment = max(1, min(int(segment), 10))
 
         it = len(self.loss)
         while it < max_iter:
             X, free = self._collect_parameters()
-            step = self._make_step_fn(X, free, scheme, b1, b2, eps, p_pow,
-                                      prox_max_iter, noise_factor)
+            _, seg_fn = self._make_step_fn(X, free, scheme, b1, b2, eps,
+                                           p_pow, prox_max_iter,
+                                           noise_factor)
 
             free_vals = [X[k].value for k in free]
             opt_states = [
@@ -182,16 +233,24 @@ class Blend(CombinedComponent):
 
             try:
                 while it < max_iter:
-                    free_vals, opt_states, loss = step(
-                        free_vals, opt_states, jnp.asarray(float(it)),
-                        data_weights)
-                    self.loss.append(float(loss))
-                    it += 1
+                    n = min(segment, max_iter - it,
+                            (it // 10 + 1) * 10 - it)
+                    (free_vals, opt_states, last_loss, active, n_done), \
+                        losses, executed = seg_fn(
+                            free_vals, opt_states, jnp.asarray(float(it)),
+                            data_weights,
+                            jnp.asarray(self.loss[-1]) if self.loss
+                            else jnp.asarray(jnp.inf),
+                            jnp.asarray(e_rel), jnp.asarray(min_iter), n)
+                    n_exec = int(n_done)
+                    self.loss.extend(np.asarray(losses[:n_exec]).tolist())
+                    it += n_exec
                     if noise_factor > 0:
                         data_weights = self._data_weights(noise_factor)
                     self._sync(X, free, free_vals, opt_states)
                     self._callback(it, e_rel=e_rel, min_iter=min_iter,
-                                   callback=callback)
+                                   callback=callback,
+                                   converged=not bool(active))
                 break
             except StopIteration:
                 break
@@ -234,10 +293,12 @@ class Blend(CombinedComponent):
             X[k].v = opt_states[i].v
             X[k].vhat = opt_states[i].vhat
 
-    def _callback(self, it, e_rel=1e-3, min_iter=1, callback=None):
+    def _callback(self, it, e_rel=1e-3, min_iter=1, callback=None,
+                  converged=None):
         """Finite check + periodic model update + convergence test.
 
-        Ref: scarlet/blend.py:276-302.
+        Ref: scarlet/blend.py:276-302.  The convergence test itself runs
+        device-side inside the fit segment; ``converged`` reports it.
         """
         for src in self.sources:
             src.check_parameters()
@@ -252,8 +313,11 @@ class Blend(CombinedComponent):
             if throw:
                 raise UpdateException
 
-        if it > min_iter and abs(self.loss[-1] - self.loss[-2]) < \
-                e_rel * np.abs(self.loss[-1]):
+        if converged is None:
+            converged = it > min_iter and len(self.loss) >= 2 and \
+                abs(self.loss[-1] - self.loss[-2]) < \
+                e_rel * np.abs(self.loss[-1])
+        if converged:
             raise StopIteration("scarlet_tpu.Blend.fit() converged")
 
         if callback is not None:

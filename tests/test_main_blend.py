@@ -60,6 +60,26 @@ class TestMainBlend:
         chi2_dof = float(np.mean(weights * (images - model) ** 2))
         assert chi2_dof < 2.0, f"chi2/dof = {chi2_dof}"
 
+    def test_fit_segmented_matches_per_iteration(self, sim_setup):
+        """The segment-scan fit (default segment=10) must reproduce the
+        per-iteration (segment=1) iterate sequence exactly: the device-side
+        convergence mask is evaluated at the same points with the same
+        floats."""
+        model_frame, observation, centers, catalog = sim_setup
+
+        def run(segment):
+            sources, _ = st.initialization.init_all_sources(
+                model_frame, centers, observation, max_components=1,
+                min_snr=50, silent=True)
+            blend = st.Blend(sources, observation)
+            it, logL = blend.fit(35, e_rel=1e-4, segment=segment)
+            return it, np.asarray(blend.loss)
+
+        it1, loss1 = run(1)
+        it10, loss10 = run(10)
+        assert it1 == it10
+        np.testing.assert_allclose(loss1, loss10, rtol=0, atol=0)
+
     def test_point_source(self, sim_setup):
         model_frame, observation, centers, catalog = sim_setup
         stars = [row for row in catalog if row["is_star"]]
