@@ -149,7 +149,16 @@ def monotonicity_tables(box_shape, fit_center_radius=1,
     (2r+1)^2 peak-search window around the box center.
 
     Returns (weights (ncand, 8, hb, wb), keep (ncand, hb, wb), n_iter).
+    Memoized (host numpy) — batching many blends with a shared box layout
+    rebuilds identical tables otherwise.
     """
+    from ..cache import Cache
+
+    key = (tuple(box_shape), int(fit_center_radius), neighbor_weight)
+    try:
+        return Cache.check("monotonicity_tables", key)
+    except KeyError:
+        pass
     Hb, Wb = box_shape
     bc = (Hb // 2, Wb // 2)
     r = int(fit_center_radius)
@@ -167,7 +176,9 @@ def monotonicity_tables(box_shape, fit_center_radius=1,
         keep[c] = 1.0
         keeps.append(keep)
         n_iter = max(n_iter, prox_ops.monotonic_depth(w, box_shape, c))
-    return np.stack(weights), np.stack(keeps), n_iter
+    out = (np.stack(weights), np.stack(keeps), n_iter)
+    Cache.set("monotonicity_tables", key, out)
+    return out
 
 
 def make_blend_data(images, weights, diff_kernel, bg_rms, config,

@@ -24,6 +24,27 @@ from .utils import project_morph_to_center, insert_image
 
 logger = logging.getLogger("scarlet_tpu.lite.initialization")
 
+
+def _host_convolve(observation, image):
+    """Per-band convolution to the observed seeing on the host (scipy FFT).
+
+    Init-time equivalent of ``observation.convolve(..., mode="real")``
+    (lite/models.py:376-410): initialization shapes vary per source/blend,
+    and routing them through XLA costs a fresh compile per shape.  scipy
+    matches the XLA depthwise path to f32 rounding (~2e-7 relative).
+    """
+    kernel = observation.diff_kernel
+    if kernel is None:
+        return np.asarray(image)
+    from scipy.signal import fftconvolve
+
+    image = np.asarray(image)
+    kernel = np.asarray(kernel.image)
+    return np.stack([
+        fftconvolve(image[b], kernel[b], mode="same")
+        for b in range(image.shape[0])
+    ]).astype(image.dtype, copy=False)
+
 __all__ = [
     "get_min_psf",
     "init_monotonic_morph",
@@ -80,11 +101,22 @@ def init_monotonic_morph(detect, center, full_box, grow=0, normalize=True,
             bbox = bbox.grow(grow)
         morph, bbox = project_morph_to_center(morph, center, bbox, full_box)
     else:
-        prox = prox_ops.build_prox_monotonic(
-            detect.shape, neighbor_weight="angle", center=center,
-            min_gradient=0,
-        )
-        morph = np.asarray(prox(jnp.asarray(detect), 0))
+        from .. import native
+
+        if native.available():
+            # host-side init: the native sequential sweep is the exact
+            # reference semantics with no per-(shape, center) XLA compile
+            prox = prox_ops.prox_weighted_monotonic_seq(
+                detect.shape, neighbor_weight="angle", min_gradient=0,
+                center=center,
+            )
+            morph = np.asarray(prox(detect, 0), dtype=detect.dtype)
+        else:
+            prox = prox_ops.build_prox_monotonic(
+                detect.shape, neighbor_weight="angle", center=center,
+                min_gradient=0,
+            )
+            morph = np.asarray(prox(jnp.asarray(detect), 0))
         morph, bbox = trim_morphology(center, morph, bg_thresh=thresh)
         if np.max(morph) == 0:
             return Box((0, 0, 0)), None
@@ -117,8 +149,7 @@ def multifit_seds(observation, morphs, boxes):
     for idx, (morph, bbox) in enumerate(zip(morphs, boxes)):
         _img = insert_image(full_box, spec_box @ bbox,
                             np.asarray(morph)[None, :, :])
-        convolved = np.asarray(
-            observation.convolve(jnp.asarray(_img), mode="real"))
+        convolved = _host_convolve(observation, _img)
         morph_images[:, idx] = convolved.reshape(bands, -1)
 
     seds = np.zeros((len(morphs), bands), dtype=dtype)
@@ -153,9 +184,9 @@ def init_main_parameters(detect, center, observation, convolved=None,
 
     if convolved is None:
         _morph = insert_image(observation.bbox[1:], bbox, morph)
-        convolved = np.asarray(observation.convolve(
-            jnp.asarray(np.repeat(_morph[None, :, :], images.shape[0], axis=0)),
-            mode="real"))
+        convolved = _host_convolve(
+            observation, np.repeat(_morph[None, :, :], images.shape[0],
+                                   axis=0))
     convolved = np.asarray(convolved)
     sed = images[sed_center] / convolved[sed_center]
     sed[sed < 0] = 0
@@ -210,13 +241,13 @@ def init_all_sources_main(observation, centers, detect=None, min_snr=50,
     noise_rms = np.asarray(observation.noise_rms)
     if detect is None:
         detect = np.sum(images / (noise_rms ** 2)[:, None, None], axis=0)
-    convolved = np.asarray(observation.convolve(
-        jnp.asarray(np.repeat(detect[None, :, :], observation.shape[0],
-                              axis=0)), mode="real"))
+    convolved = _host_convolve(
+        observation, np.repeat(detect[None, :, :], observation.shape[0],
+                               axis=0))
     model_psf = np.asarray(observation.model_psf)[0]
-    convolved_psf = np.asarray(observation.convolve(
-        jnp.asarray(np.repeat(np.asarray(observation.model_psf),
-                              images.shape[0], axis=0)), mode="real"))
+    convolved_psf = _host_convolve(
+        observation, np.repeat(np.asarray(observation.model_psf),
+                               images.shape[0], axis=0))
     py = model_psf.shape[0] // 2
     px = model_psf.shape[1] // 2
     psf_sed = convolved_psf[:, py, px]
@@ -290,13 +321,12 @@ class WaveletInitParameters:
         images = np.asarray(observation.images)
         model_psf = np.asarray(observation.model_psf)[0]
 
-        convolved = np.asarray(observation.convolve(
-            jnp.asarray(np.repeat(detectlets[None, :, :],
-                                  observation.shape[0], axis=0)),
-            mode="real"))
-        convolved_psf = np.asarray(observation.convolve(
-            jnp.asarray(np.repeat(model_psf[None, :, :],
-                                  images.shape[0], axis=0)), mode="real"))
+        convolved = _host_convolve(
+            observation, np.repeat(detectlets[None, :, :],
+                                   observation.shape[0], axis=0))
+        convolved_psf = _host_convolve(
+            observation, np.repeat(model_psf[None, :, :], images.shape[0],
+                                   axis=0))
         py = np.asarray(observation.model_psf).shape[1] // 2
         px = np.asarray(observation.model_psf).shape[2] // 2
 

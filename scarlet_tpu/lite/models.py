@@ -440,7 +440,9 @@ class LiteBlend:
         return np.array(self.loss)
 
     # -- compiled fit ------------------------------------------------------
-    def engine_setup(self, e_rel=1e-4, min_iter=1, bucket_mode="single"):
+    def engine_setup(self, e_rel=1e-4, min_iter=1, bucket_mode="single",
+                     scene_shape=None, box_size=None, n_slots=None,
+                     fft_shape=None):
         """Public access to the (config, data, state) pytrees of the
         compiled engine — the entry point for batched fitting
         (scarlet_tpu.parallel).
@@ -449,20 +451,50 @@ class LiteBlend:
         box bucket (fewer op streams — faster on TPU at typical sizes) with
         per-component logical-box masks; "per-size" groups components into
         per-size buckets (less per-pixel work when sizes vary wildly).
-        """
-        return self._engine_setup(e_rel, min_iter, bucket_mode=bucket_mode)
 
-    def _engine_setup(self, e_rel, min_iter, bucket_mode="single"):
+        The layout overrides build this blend to a *shared* static layout
+        so distinct blends can be stacked into one batch
+        (``scarlet_tpu.parallel.pack_blends``):
+
+        - ``scene_shape`` (C, H, W): zero-pad images/weights bottom-right
+          to this shape (weight-0 padding never enters the likelihood);
+        - ``box_size``: force the single bucket's physical box (odd);
+        - ``n_slots``: pad the component count with ``comp_active=False``
+          null slots;
+        - ``fft_shape``: use this (even, >= minimal exact) spatial FFT
+          shape instead of the minimal one.
+        """
+        return self._engine_setup(e_rel, min_iter, bucket_mode=bucket_mode,
+                                  scene_shape=scene_shape, box_size=box_size,
+                                  n_slots=n_slots, fft_shape=fft_shape)
+
+    def _engine_setup(self, e_rel, min_iter, bucket_mode="single",
+                      scene_shape=None, box_size=None, n_slots=None,
+                      fft_shape=None):
         import jax as _jax
 
         if bucket_mode not in ("single", "per-size"):
             raise ValueError(
                 f"bucket_mode must be 'single' or 'per-size', "
                 f"got {bucket_mode!r}")
+        if bucket_mode != "single" and (box_size is not None or
+                                        n_slots is not None):
+            raise ValueError("layout overrides require bucket_mode='single'")
         obs = self.observation
         comps = self.components
         C, H, W = obs.shape
-        dtype = np.asarray(obs.images).dtype
+        images = np.asarray(obs.images)
+        weights = np.asarray(obs.weights)
+        if scene_shape is not None:
+            if scene_shape[0] != C or scene_shape[1] < H or \
+                    scene_shape[2] < W:
+                raise ValueError(
+                    f"scene_shape {scene_shape} cannot hold {(C, H, W)}")
+            pad = ((0, 0), (0, scene_shape[1] - H), (0, scene_shape[2] - W))
+            images = np.pad(images, pad)
+            weights = np.pad(weights, pad)
+            _, H, W = scene_shape
+        dtype = images.dtype
 
         # --- group components into size buckets (capped at scene size:
         # flux outside the scene never enters the likelihood) ---
@@ -475,15 +507,25 @@ class LiteBlend:
             sizes.append(size)
         if bucket_mode == "single":
             sizes = [max(sizes)] * len(sizes)
+            if box_size is not None:
+                size = min(int(box_size), cap)
+                if size % 2 == 0:
+                    size += 1
+                if size < max(sizes):
+                    raise ValueError(
+                        f"box_size {box_size} smaller than required "
+                        f"{max(sizes)}")
+                sizes = [size] * len(sizes)
         bucket_sizes = sorted(set(sizes))
         bucket_of = {s: b for b, s in enumerate(bucket_sizes)}
         nb = len(bucket_sizes)
 
         if obs.diff_kernel is not None:
-            # smallest exact (even, 5-smooth) shape: radix-5 FFT sizes are
-            # faster on TPU than the larger next_fast_len choices
-            fft_shape = fft_ops.minimal_even_fft_shape(
-                obs.images, obs.diff_kernel.image, axes=(1, 2))
+            if fft_shape is None:
+                # smallest exact (even, 5-smooth) shape: radix-5 FFT sizes
+                # are faster on TPU than the larger next_fast_len choices
+                fft_shape = fft_ops.minimal_even_fft_shape(
+                    images, obs.diff_kernel.image, axes=(1, 2))
             diff_kernel = obs.diff_kernel.image
         else:
             fft_shape = None
@@ -505,10 +547,20 @@ class LiteBlend:
 
         # --- per-bucket state arrays ---
         counts = [sizes.count(s) for s in bucket_sizes]
+        if n_slots is not None:
+            if n_slots < counts[0]:
+                raise ValueError(
+                    f"n_slots {n_slots} smaller than component count "
+                    f"{counts[0]}")
+            counts = [int(n_slots)]
         seds = [np.zeros((k, C), dtype=dtype) for k in counts]
         morphs = [np.zeros((k, s, s), dtype=dtype)
                   for k, s in zip(counts, bucket_sizes)]
-        origins = [np.zeros((k, 2), dtype=np.int32) for k in counts]
+        # null (padding) slots keep a centered origin so they never widen
+        # the overhang-derived scene_pad
+        origins = [np.tile(np.asarray([[(H - s) // 2, (W - s) // 2]],
+                                      np.int32), (k, 1))
+                   for k, s in zip(counts, bucket_sizes)]
         m_sed = [np.zeros_like(a) for a in seds]
         v_sed = [np.zeros_like(a) for a in seds]
         vhat_sed = [np.zeros_like(a) for a in seds]
@@ -612,7 +664,7 @@ class LiteBlend:
         )
 
         data = engine.make_blend_data(
-            obs.images, obs.weights, diff_kernel, obs.noise_rms, config)
+            images, weights, diff_kernel, obs.noise_rms, config)
         data = data._replace(
             box_masks=tuple(jnp.asarray(m) for m in box_masks))
         if use_fista:
@@ -635,8 +687,12 @@ class LiteBlend:
             morph_opt = tuple(
                 engine.init_adaprox_state(jnp.asarray(s), m=m, v=v, vhat=vh)
                 for s, m, v, vh in zip(morphs, m_mor, v_mor, vhat_mor))
+        comp_active = [
+            np.arange(k) < slots[b] for b, k in enumerate(counts)
+        ]
         state = engine.make_blend_state(
-            seds, morphs, origins, sed_opt=sed_opt, morph_opt=morph_opt,
+            seds, morphs, origins, comp_active=comp_active,
+            sed_opt=sed_opt, morph_opt=morph_opt,
         )
         state = state._replace(it=jnp.asarray(self.it, jnp.int32))
         return config, data, state

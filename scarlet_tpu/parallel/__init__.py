@@ -8,6 +8,8 @@ the ICI mesh, with an optional band (channel) axis for model parallelism.
 from .batch import (  # noqa: F401
     BatchConfig,
     pack_batch,
+    pack_blends,
+    unpack_blends,
     replicate_blend,
     fit_batch,
     fit_batch_converged,

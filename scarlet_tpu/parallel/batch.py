@@ -2,14 +2,24 @@
 
 ``engine.fit_step`` is written per-blend with an ``active`` convergence mask,
 so batching is exactly one ``vmap``: every blend in the batch stops updating
-independently while the scan keeps running.  Multi-chip scaling shards the
-batch ("blends") axis — and optionally the band axis — with
-``jax.sharding.NamedSharding``; blends are independent, so the only
-cross-device traffic XLA inserts is for the optional band axis
+independently while the scan keeps running.  Heterogeneous blends (different
+image sizes, component counts, box sizes) batch through a *shared static
+layout* (``pack_blends``): scenes zero-pad to the largest (weight-0 padding
+never enters the likelihood), component slots pad with ``comp_active=False``,
+and every blend uses the common physical box / FFT shape.
+
+The monotonicity weight tables are config-determined (identical across the
+batch), so they are NOT stacked: ``fit_batch`` maps them with
+``in_axes=None``, keeping one copy in HBM regardless of batch size.
+
+Multi-chip scaling shards the batch ("blends") axis — and optionally the
+band axis — with ``jax.sharding.NamedSharding``; blends are independent, so
+the only cross-device traffic XLA inserts is for the optional band axis
 (psum of per-band gradient contractions).
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import numpy as np
@@ -18,17 +28,25 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..lite import engine
+from ..ops import fft as fft_ops
 
 __all__ = [
     "BatchConfig",
     "pack_batch",
+    "pack_blends",
+    "unpack_blends",
     "replicate_blend",
     "fit_batch",
+    "fit_batch_converged",
     "make_mesh",
     "shard_batch",
 ]
 
 BatchConfig = engine.LiteFitConfig
+
+# BlendData fields shared (unbatched) across a batch: the monotonicity
+# tables depend only on the static config
+_SHARED_FIELDS = ("mono_weights", "mono_keep")
 
 
 def _stack(pytrees):
@@ -40,31 +58,144 @@ def _stack(pytrees):
     )
 
 
+def _data_in_axes(data):
+    """``vmap`` axis spec for a batched BlendData: axis 0 everywhere except
+    the shared monotonicity tables (and absent optional fields)."""
+    return engine.BlendData(**{
+        name: None if (name in _SHARED_FIELDS or getattr(data, name) is None)
+        else 0
+        for name in data._fields
+    })
+
+
 def pack_batch(blend_setups):
     """Stack per-blend (data, state) pairs into batch pytrees.
 
-    All blends must share the same static config (scene shape, K, box size);
-    pad component slots with ``comp_active=False`` to equalize K.
+    All blends must share the same static config (scene shape, K, box
+    size); use :func:`pack_blends` to build heterogeneous blends to a
+    common layout first.  The shared monotonicity tables are taken from the
+    first blend (they are config-determined).
     """
     datas, states = zip(*blend_setups)
-    return _stack(datas), _stack(states)
+    first = datas[0]
+    stacked = _stack([
+        d._replace(**{name: None for name in _SHARED_FIELDS}) for d in datas
+    ])
+    data = stacked._replace(**{
+        name: getattr(first, name) for name in _SHARED_FIELDS
+    })
+    return data, _stack(states)
+
+
+def pack_blends(blends, e_rel=1e-4, min_iter=1):
+    """Build N distinct ``LiteBlend``s to one shared static layout and
+    stack them into batch pytrees.
+
+    The common layout is the elementwise maximum over the batch: scene
+    shape, single-bucket box size, component-slot count, and FFT shape.
+    Returns ``(config, data, state)`` ready for :func:`fit_batch`; write
+    results back with :func:`unpack_blends`.
+
+    This replaces the reference's serial per-blend loop
+    (scarlet/testing/api.py:216-226) as the production many-blend path.
+    """
+    if not blends:
+        raise ValueError("pack_blends needs at least one blend")
+    shapes = [b.observation.shape for b in blends]
+    C = shapes[0][0]
+    if any(s[0] != C for s in shapes):
+        raise ValueError(f"channel counts differ: {[s[0] for s in shapes]}")
+    H = max(s[1] for s in shapes)
+    W = max(s[2] for s in shapes)
+    cap = max(H, W) + 1
+
+    box = 1
+    n_slots = 1
+    for bl in blends:
+        n_slots = max(n_slots, len(bl.components))
+        for c in bl.components:
+            s = min(max(c.bbox.shape[-2], c.bbox.shape[-1]), cap)
+            box = max(box, s + (s % 2 == 0))
+
+    fft_shape = None
+    for bl in blends:
+        dk = bl.observation.diff_kernel
+        if dk is not None:
+            fs = fft_ops.minimal_even_fft_shape(
+                (C, H, W), np.asarray(dk.image).shape, axes=(1, 2))
+            fft_shape = fs if fft_shape is None else tuple(
+                max(a, b) for a, b in zip(fft_shape, fs))
+
+    configs, setups = [], []
+    for bl in blends:
+        cfg, d, s = bl.engine_setup(
+            e_rel, min_iter, scene_shape=(C, H, W), box_size=box,
+            n_slots=n_slots, fft_shape=fft_shape)
+        configs.append(cfg)
+        setups.append((d, s))
+
+    # scene_pad is overhang-derived per blend; the (static) config takes
+    # the maximum — it only affects the traced scatter-add padding
+    pad = max(c.scene_pad for c in configs)
+    config = dataclasses.replace(configs[0], scene_pad=pad)
+    for c in configs[1:]:
+        if dataclasses.replace(c, scene_pad=pad) != config:
+            raise ValueError(
+                "blends produced incompatible engine configs "
+                f"(e.g. mixed optimizers or renderers): {c} vs {config}")
+
+    data, state = pack_batch(setups)
+    return config, data, state
+
+
+def unpack_blends(blends, state, losses=None, reweight=True):
+    """Write a batched fit's results back onto the per-blend ``LiteBlend``
+    objects: SEDs/morphologies/optimizer moments, iteration counts, and
+    (optionally) per-blend loss histories from ``losses (n_iter, B)``.
+
+    ``reweight`` applies the reference's post-fit flux redistribution
+    (lite/measure.py:39-91) per blend.
+    """
+    from ..lite.measure import weight_sources
+
+    if losses is not None:
+        losses = np.asarray(losses)
+    for i, bl in enumerate(blends):
+        sub = jax.tree.map(lambda x: x[i], state,
+                           is_leaf=lambda x: x is None)
+        ran = int(sub.it) - bl.it
+        if losses is not None and ran > 0:
+            bl.loss.extend(losses[:ran, i].tolist())
+        bl.it = int(sub.it)
+        bl._write_back(sub)
+        if reweight:
+            weight_sources(bl)
+    return blends
 
 
 def replicate_blend(data, state, batch):
-    """Tile one blend's (data, state) ``batch`` times (benchmarking)."""
+    """Tile one blend's (data, state) ``batch`` times (benchmarking); the
+    shared monotonicity tables stay unbatched."""
     rep = lambda x: None if x is None else jnp.broadcast_to(  # noqa: E731
         x[None], (batch,) + x.shape)
-    return (
-        jax.tree.map(rep, data, is_leaf=lambda x: x is None),
-        jax.tree.map(rep, state, is_leaf=lambda x: x is None),
-    )
+
+    def rep_tree(t):
+        return jax.tree.map(rep, t, is_leaf=lambda x: x is None)
+
+    data = engine.BlendData(**{
+        name: getattr(data, name) if name in _SHARED_FIELDS
+        else rep_tree(getattr(data, name))
+        for name in data._fields
+    })
+    return data, rep_tree(state)
 
 
 def _fit_batch(state, data, config, n_iter):
+    step = jax.vmap(lambda st, dt: engine.fit_step(st, dt, config),
+                    in_axes=(0, _data_in_axes(data)))
+
     def body(s, _):
-        s2, logL = jax.vmap(lambda st, dt: engine.fit_step(st, dt, config))(
-            s, data)
-        return s2, logL
+        return step(s, data)
 
     return jax.lax.scan(body, state, None, length=n_iter)
 
@@ -120,26 +251,29 @@ def shard_batch(data, state, mesh, shard_bands=False):
     leaf shards over "blends"; with ``shard_bands`` the channel axis of the
     image/kernel leaves additionally splits over "bands" (model
     parallelism — note XLA's CPU FFT rejects sharded-channel layouts, so
-    keep this off for CPU validation runs)."""
+    keep this off for CPU validation runs).  The shared monotonicity
+    tables are replicated across the mesh."""
     chan_axes = {"images": 1, "weights": 1, "kernel_rfft": 2,
                  "grad_kernel_rfft": 2, "bg_rms": 1, "sed_step_min": 1}
 
-    def put(x, chan_axis=None):
+    def put(x, chan_axis=None, batched=True):
         if x is None:
             return None
         parts = [None] * x.ndim
-        parts[0] = "blends"
+        if batched:
+            parts[0] = "blends"
         if shard_bands and chan_axis is not None and x.ndim > chan_axis and \
                 mesh.shape["bands"] > 1:
             parts[chan_axis] = "bands"
         return jax.device_put(x, NamedSharding(mesh, P(*parts)))
 
-    def put_tree(t, chan_axis=None):
-        return jax.tree.map(lambda x: put(x, chan_axis), t,
+    def put_tree(t, chan_axis=None, batched=True):
+        return jax.tree.map(lambda x: put(x, chan_axis, batched), t,
                             is_leaf=lambda x: x is None)
 
     data = engine.BlendData(**{
-        name: put_tree(getattr(data, name), chan_axes.get(name))
+        name: put_tree(getattr(data, name), chan_axes.get(name),
+                       batched=name not in _SHARED_FIELDS)
         for name in data._fields
     })
     state = put_tree(state)

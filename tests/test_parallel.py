@@ -55,6 +55,75 @@ class TestBatched:
                     np.asarray(bt[b]), np.asarray(sg), rtol=1e-4, atol=1e-5),
                 batch_state.seds, single_state.seds)
 
+    def test_heterogeneous_pack_blends(self):
+        """Distinct blends (different crops, scene sizes, and component
+        counts) packed to a shared layout: the batched fit must match each
+        blend's own single fit, and write-back must land per blend."""
+        data = np.load("/root/reference/data/psf_matched_sim.npz")
+        images = data["images"].astype(np.float32)
+        psfs = data["psfs"].astype(np.float32)
+        catalog = data["catalog"]
+        sigma = np.array([
+            1.4826 * np.median(np.abs(im - np.median(im))) for im in images
+        ])
+        model_psf = lite.integrated_circular_gaussian(sigma=0.3)[None].astype(
+            np.float32)
+
+        def make(y0, y1, x0, x1):
+            imgs = images[:, y0:y1, x0:x1]
+            variance = np.ones_like(imgs) * (sigma ** 2)[:, None, None]
+            obs = lite.LiteObservation(imgs, variance, 1.0 / variance, psfs,
+                                       model_psf=model_psf)
+            centers = [
+                (int(np.round(r["y"])) - y0, int(np.round(r["x"])) - x0)
+                for r in catalog
+                if y0 + 3 <= r["y"] < y1 - 3 and x0 + 3 <= r["x"] < x1 - 3
+            ]
+            sources = lite.init_all_sources_main(obs, centers, min_snr=50)
+            sources = lite.parameterize_sources(sources, obs,
+                                                lite.init_adaprox_component)
+            return lite.LiteBlend(sources, obs)
+
+        H, W = images.shape[1:]
+        blends = [make(0, H, 0, W), make(0, H - 10, 6, W),
+                  make(8, H, 0, W - 12)]
+        ks = [len(b.components) for b in blends]
+        shapes = [b.observation.shape for b in blends]
+        assert len(set(ks)) > 1 or len(set(shapes)) > 1
+
+        config, bdata, bstate = parallel.pack_blends(blends, e_rel=1e-4)
+        assert bdata.images.shape[0] == 3
+        batch_state, batch_losses = parallel.fit_batch(bstate, bdata,
+                                                       config, 15)
+
+        # vmap batch == per-blend loop at the shared layout
+        shared = {"mono_weights", "mono_keep"}
+        for i in range(3):
+            dsub = engine.BlendData(**{
+                name: getattr(bdata, name) if name in shared else
+                jax.tree.map(lambda x, i=i: None if x is None else x[i],
+                             getattr(bdata, name),
+                             is_leaf=lambda x: x is None)
+                for name in bdata._fields})
+            ssub = jax.tree.map(lambda x, i=i: x[i], bstate)
+            sstate, slosses = engine.fit_scan(ssub, dsub, config, 15)
+            np.testing.assert_allclose(np.asarray(batch_losses[:, i]),
+                                       np.asarray(slosses), rtol=1e-5)
+
+        # shared-layout fit tracks each blend's natural-layout fit
+        for i, bl in enumerate(blends):
+            ncfg, ndata, nstate = bl.engine_setup(e_rel=1e-4)
+            _, nlosses = engine.fit_scan(nstate, ndata, ncfg, 15)
+            np.testing.assert_allclose(np.asarray(batch_losses[:, i]),
+                                       np.asarray(nlosses), rtol=1e-3)
+
+        # write-back: iteration counts, loss histories, improved models
+        parallel.unpack_blends(blends, batch_state, batch_losses)
+        for i, bl in enumerate(blends):
+            assert bl.it > 0
+            assert len(bl.loss) == bl.it
+            assert bl.loss[-1] > bl.loss[0]
+
     def test_sharded_mesh(self, sim_blend):
         """Batch sharded over an 8-device mesh compiles, runs, and matches
         the unsharded result."""
