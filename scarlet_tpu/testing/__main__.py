@@ -1,0 +1,57 @@
+"""Regression-harness CLI: deblend the blend sets, store records, render
+the dashboard.
+
+    python -m scarlet_tpu.testing --sets 1 2 3 4 --pipeline lite --plots
+
+Mirrors the reference's pytest-driven testing/api.py entry (which requires
+AWS credentials + --branch); everything here is local.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sets", type=int, nargs="+", default=[1, 2, 3, 4],
+                   help="blend set ids (1-3 bundled, 4/5 generated)")
+    p.add_argument("--pipeline", choices=["main", "lite"], default="lite",
+                   help="per-blend reference-parity pipeline (main) or the "
+                        "batched engine (lite)")
+    p.add_argument("--branch", default=None,
+                   help="store records under this branch name")
+    p.add_argument("--root", default=None, help="store root (.regression)")
+    p.add_argument("--max-iter", type=int, default=None)
+    p.add_argument("--plots", action="store_true",
+                   help="render the dashboard after the run")
+    p.add_argument("--no-save", action="store_true")
+    args = p.parse_args(argv)
+
+    from .api import deblend_and_measure
+
+    results = deblend_and_measure(
+        set_ids=args.sets, save=not args.no_save, branch=args.branch,
+        root=args.root, pipeline=args.pipeline, max_iter=args.max_iter)
+    for set_id, records in results.items():
+        logls = [r["logL"] for r in records]
+        iters = [r["iterations"] for r in records]
+        print(json.dumps({
+            "set": set_id,
+            "n_blends": len(records),
+            "median_logL": float(sorted(logls)[len(logls) // 2])
+            if logls else None,
+            "median_iterations": int(sorted(iters)[len(iters) // 2])
+            if iters else None,
+        }))
+
+    if args.plots:
+        from .plots import render_dashboard
+
+        written = render_dashboard(set_ids=args.sets, root=args.root)
+        for path in written:
+            print(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,33 +1,45 @@
 """Regression runner over blend sets.
 
 Ref: scarlet/testing/api.py:158-259 — the reference pulls curated HSC blend
-sets from AWS; here the blend sets are the bundled datasets (plus any
-user-provided list of npz paths), and results land in the local store.
+sets from AWS and deblends them in a serial per-blend loop
+(testing/api.py:216-226); here the blend sets are the bundled datasets plus
+deterministically *generated* sets (blendsets.py), and the batched "lite"
+pipeline deblends an entire set as one vmapped fit.  Results land in the
+local store.
 """
 from __future__ import annotations
 
 import pathlib
+import time
 
 import numpy as np
 
 from .deblend import deblend
-from .measure import measure_sources
+from .measure import measure_sources, measure_lite_sources
 from .store import save_records, save_residuals
 
-__all__ = ["bundled_blends", "deblend_and_measure"]
+__all__ = ["bundled_blends", "deblend_and_measure", "deblend_lite_batch"]
 
 _DATA_DIR = pathlib.Path("/root/reference/data")
 
-# blend "sets": 1 = real HSC blend, 2 = matched-PSF sim, 3 = unmatched sim
+# blend "sets": 1 = real HSC blend, 2 = matched-PSF sim, 3 = unmatched sim;
+# 4/5 = generated synthetic sets (reference set sizes: 100/50/14,
+# docs/regression.rst:4-12)
 _BUNDLED = {
     1: ["hsc_cosmos_35.npz"],
     2: ["psf_matched_sim.npz"],
     3: ["psf_unmatched_sim.npz"],
 }
+_GENERATED = {4: 50, 5: 14}
 
 
-def bundled_blends(set_id):
-    """Paths of the bundled blends in a set."""
+def bundled_blends(set_id, root=None):
+    """Paths of the blends in a set (generating synthetic sets on first
+    use)."""
+    if set_id in _GENERATED:
+        from .blendsets import generate_blend_set
+
+        return generate_blend_set(set_id, n=_GENERATED[set_id], root=root)
     return [
         _DATA_DIR / name
         for name in _BUNDLED.get(set_id, [])
@@ -35,9 +47,84 @@ def bundled_blends(set_id):
     ]
 
 
+def _channels(data):
+    if "filters" not in data:
+        return []
+    return [f.decode() if isinstance(f, bytes) else str(f)
+            for f in np.asarray(data["filters"]).tolist()]
+
+
+def deblend_lite_batch(datas, max_iter=None, e_rel=None):
+    """Deblend a whole set of blend dicts as ONE batched engine fit: host
+    init per blend, heterogeneous pack, vmapped adaprox scan, write-back.
+
+    Returns (blends, records).  This is the TPU-native replacement for the
+    reference's serial loop (testing/api.py:216-226).
+    """
+    from . import settings
+    from .. import lite, parallel
+
+    if max_iter is None:
+        max_iter = settings.max_iter
+    if e_rel is None:
+        e_rel = settings.e_rel
+
+    t0 = time.perf_counter()
+    blends = []
+    for data in datas:
+        images = np.asarray(data["images"]).astype(np.float32)
+        if "variance" in data:
+            variance = np.asarray(data["variance"]).astype(np.float32)
+        else:
+            sigma = np.array([
+                1.4826 * np.median(np.abs(im - np.median(im)))
+                for im in images])
+            variance = np.ones_like(images) * (sigma ** 2)[:, None, None]
+        weights = (1.0 / np.maximum(variance, 1e-12)).astype(np.float32)
+        psfs = np.asarray(data["psfs"]).astype(np.float32)
+        model_psf = lite.integrated_circular_gaussian(sigma=0.8)[None].astype(
+            np.float32)
+        obs = lite.LiteObservation(images, variance, weights, psfs,
+                                   model_psf=model_psf)
+        centers = [(int(np.round(r["y"])), int(np.round(r["x"])))
+                   for r in data["catalog"]]
+        sources = lite.init_all_sources_main(obs, centers, min_snr=30)
+        sources = lite.parameterize_sources(sources, obs,
+                                            lite.init_adaprox_component)
+        blends.append(lite.LiteBlend(sources, obs))
+    init_time = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    config, bdata, bstate = parallel.pack_blends(blends, e_rel=e_rel)
+    out_state, losses = parallel.fit_batch_converged(bstate, bdata, config,
+                                                     max_iter)
+    parallel.unpack_blends(blends, out_state, losses)
+    fit_time = time.perf_counter() - t0
+
+    records = []
+    for bl in blends:
+        records.append({
+            "init time": init_time / max(len(blends), 1) * 1000,   # ms
+            "runtime": fit_time / max(len(blends), 1)
+            / max(len(bl.sources), 1) * 1000,                      # ms/src
+            "total runtime": fit_time / max(len(blends), 1),       # s
+            "iterations": int(bl.it),
+            "init logL": float(bl.loss[0]) if bl.loss else float("nan"),
+            "logL": float(bl.loss[-1]) if bl.loss else float("nan"),
+            "skipped": [],
+            "n_sources": len(bl.sources),
+        })
+    return blends, records
+
+
 def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
-                        branch=None, root=None, paths=None):
+                        branch=None, root=None, paths=None, pipeline="main",
+                        max_iter=None, e_rel=None):
     """Deblend every blend in the given sets, measure, and store records.
+
+    ``pipeline``: "main" runs the reference-parity per-blend pipeline
+    (testing/deblend.py:9-93 semantics); "lite" runs each set as one
+    batched engine fit (:func:`deblend_lite_batch`).
 
     Returns {set_id: [record, ...]}.
     """
@@ -47,23 +134,31 @@ def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
     with jax.default_device(jax.devices("cpu")[0]):
         for set_id in set_ids:
             blend_paths = paths or bundled_blends(set_id)
-            records = []
-            for blend_id, path in enumerate(blend_paths):
-                data = np.load(path, allow_pickle=True)
-                sources, blend, record = deblend(data)
-                channels = [
-                    f.decode() if isinstance(f, bytes) else str(f)
-                    for f in np.asarray(data["filters"]).tolist()
-                ] if "filters" in data else []
-                record["sources"] = measure_sources(sources, data["catalog"],
-                                                    channels)
-                record["blend"] = pathlib.Path(path).name
-                records.append(record)
-                if save_images:
-                    obs = blend.observations[0]
-                    model = np.asarray(obs.render(blend.get_model()))
-                    save_residuals(obs.data, model, set_id, blend_id,
-                                   branch=branch, root=root)
+            datas = [np.load(p, allow_pickle=True) for p in blend_paths]
+
+            if pipeline == "lite":
+                blends, records = deblend_lite_batch(datas, max_iter=max_iter,
+                                                     e_rel=e_rel)
+                for rec, data, path, bl in zip(records, datas, blend_paths,
+                                               blends):
+                    rec["sources"] = measure_lite_sources(
+                        bl.sources, data["catalog"], _channels(data))
+                    rec["blend"] = pathlib.Path(path).name
+            else:
+                records = []
+                for blend_id, (data, path) in enumerate(
+                        zip(datas, blend_paths)):
+                    sources, blend, record = deblend(data, max_iter=max_iter,
+                                                     e_rel=e_rel)
+                    record["sources"] = measure_sources(
+                        sources, data["catalog"], _channels(data))
+                    record["blend"] = pathlib.Path(path).name
+                    records.append(record)
+                    if save_images:
+                        obs = blend.observations[0]
+                        model = np.asarray(obs.render(blend.get_model()))
+                        save_residuals(obs.data, model, set_id, blend_id,
+                                       branch=branch, root=root)
             if save and records:
                 save_records(records, set_id, branch=branch, root=root)
             results[set_id] = records

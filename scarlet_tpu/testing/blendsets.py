@@ -1,0 +1,149 @@
+"""Generated regression blend sets.
+
+The reference's curated sets (100 well-modeled / 50 random / 14 hard
+HSC-COSMOS blends with injected fakes, docs/regression.rst:4-12) live in
+AWS and are not bundled; this module regenerates equivalent material
+deterministically: HSC-like 5-band scenes with injected point sources and
+extended (Gaussian/exponential-profile) galaxies, per-band seeing, Gaussian
+noise, and a truth catalog carrying per-band ``intensity_<band>`` images in
+the reference's own convention (psf_matched_sim.npz catalog dtype), so the
+per-band magnitude-error metrics (testing/measure.py:62-76) apply
+unchanged.
+"""
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+from scipy.signal import fftconvolve
+
+from . import settings
+from .store import default_root
+
+__all__ = ["generate_blend", "generate_blend_set"]
+
+
+def _gaussian_psf(sigma, size=21):
+    yy, xx = np.mgrid[:size, :size] - (size - 1) / 2.0
+    p = np.exp(-(yy ** 2 + xx ** 2) / (2 * sigma ** 2))
+    return (p / p.sum()).astype(np.float32)
+
+
+def _profile(kind, radius, q, angle, size):
+    """Unit-peak elliptical radial profile on a (size, size) grid."""
+    yy, xx = np.mgrid[:size, :size] - (size - 1) / 2.0
+    c, s = np.cos(angle), np.sin(angle)
+    u = (c * xx + s * yy) / max(q, 0.2)
+    v = -s * xx + c * yy
+    r = np.sqrt(u ** 2 + v ** 2) / max(radius, 0.3)
+    if kind == "exp":
+        return np.exp(-1.67835 * r)
+    return np.exp(-0.5 * r ** 2)
+
+
+def generate_blend(rng, shape=(5, 58, 48), n_sources=None, min_sep=5.0,
+                   noise_sigma=0.1):
+    """One synthetic blend dict: images/variance/psfs/filters/catalog with
+    full-scene truth-intensity images per source."""
+    C, H, W = shape
+    filters = list(settings.filters)[:C]
+    sigmas = rng.uniform(1.1, 2.1, size=C).astype(np.float32)
+    psfs = np.stack([_gaussian_psf(s, 21) for s in sigmas])
+
+    if n_sources is None:
+        n_sources = int(rng.integers(3, 11))
+
+    # blended but resolvable positions: rejection-sample a minimum
+    # separation
+    centers = []
+    for _ in range(200):
+        if len(centers) >= n_sources:
+            break
+        y = rng.uniform(6, H - 7)
+        x = rng.uniform(6, W - 7)
+        if all((y - cy) ** 2 + (x - cx) ** 2 >= min_sep ** 2
+               for cy, cx in centers):
+            centers.append((y, x))
+    n_sources = len(centers)
+
+    dtype = [("index", "<i8"), ("x", "<f8"), ("y", "<f8"), ("is_star", "?"),
+             ("radius", "<f8"), ("sed", "<f8", (C,))]
+    dtype += [(f"intensity_{f}", "<f4", (H, W)) for f in filters]
+    catalog = np.zeros(n_sources, dtype=dtype)
+
+    scene_truth = np.zeros((C, H, W), np.float32)
+    for i, (y, x) in enumerate(centers):
+        is_star = rng.random() < 0.3
+        # smooth random SED: log-uniform band weights, unit sum
+        sed = rng.dirichlet(np.full(C, 2.0)).astype(np.float64)
+        # HSC-like peak SNR range (tens to a few hundred)
+        flux = 10 ** rng.uniform(1.0, 2.7)   # total counts
+        if is_star:
+            radius = 0.0
+            img = np.zeros((H, W), np.float32)
+            iy, ix = int(round(y)), int(round(x))
+            img[iy, ix] = 1.0
+        else:
+            radius = float(rng.uniform(1.0, 4.0))
+            q = float(rng.uniform(0.4, 1.0))
+            angle = float(rng.uniform(0, np.pi))
+            kind = "exp" if rng.random() < 0.6 else "gauss"
+            size = min(2 * int(4 * radius) + 21, 2 * min(H, W) - 1)
+            prof = _profile(kind, radius, q, angle, size).astype(np.float32)
+            img = np.zeros((H, W), np.float32)
+            iy, ix = int(round(y)), int(round(x))
+            h = size // 2
+            ys, xs = slice(max(0, iy - h), min(H, iy + h + 1)), \
+                slice(max(0, ix - h), min(W, ix + h + 1))
+            pys = slice(ys.start - (iy - h), size - ((iy + h + 1) - ys.stop))
+            pxs = slice(xs.start - (ix - h), size - ((ix + h + 1) - xs.stop))
+            img[ys, xs] = prof[pys, pxs]
+        img = img / max(img.sum(), 1e-12) * flux
+        truth = (sed[:, None, None] * img[None]).astype(np.float32)
+        scene_truth += truth
+
+        catalog[i]["index"] = i
+        catalog[i]["y"] = y
+        catalog[i]["x"] = x
+        catalog[i]["is_star"] = is_star
+        catalog[i]["radius"] = radius
+        catalog[i]["sed"] = sed
+        for b, f in enumerate(filters):
+            catalog[i][f"intensity_{f}"] = truth[b]
+
+    images = np.stack([
+        fftconvolve(scene_truth[b], psfs[b], mode="same")
+        for b in range(C)
+    ]).astype(np.float32)
+    sigma_b = (noise_sigma * (1.0 + rng.uniform(-0.3, 0.3, size=C))
+               ).astype(np.float32)
+    images += rng.standard_normal(images.shape).astype(np.float32) * \
+        sigma_b[:, None, None]
+    variance = np.broadcast_to((sigma_b ** 2)[:, None, None],
+                               images.shape).copy()
+
+    return {
+        "images": images,
+        "variance": variance,
+        "psfs": psfs,
+        "filters": np.asarray(filters),
+        "catalog": catalog,
+    }
+
+
+def generate_blend_set(set_id=4, n=50, seed=None, root=None, shape=(5, 58, 48)):
+    """Write ``n`` deterministic synthetic blends as npz files under
+    ``<root>/sets/set<set_id>/`` and return their paths (cached: existing
+    complete sets are reused)."""
+    root = pathlib.Path(root) if root else default_root()
+    out_dir = root / "sets" / f"set{set_id}"
+    paths = [out_dir / f"blend_{i:03d}.npz" for i in range(n)]
+    if all(p.exists() for p in paths):
+        return paths
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if seed is None:
+        seed = 1000 + set_id
+    rng = np.random.default_rng(seed)
+    for p in paths:
+        np.savez_compressed(p, **generate_blend(rng, shape=shape))
+    return paths

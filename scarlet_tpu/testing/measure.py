@@ -6,7 +6,7 @@ import numpy as np
 
 from .. import measure as measure_mod
 
-__all__ = ["measurements", "mag_diff"]
+__all__ = ["measurements", "mag_diff", "measure_lite_sources"]
 
 # metric registry (name -> description); ref: testing/measure.py:234-246
 measurements = {
@@ -36,6 +36,30 @@ def mag_diff(truth_flux, model_flux, zero_point=27.0):
     return m_model - m_true
 
 
+def _truth_diff(rec, row, channels, flux):
+    names = [f"intensity_{c}" for c in channels]
+    if row is not None and all(n in (row.dtype.names or ()) for n in names):
+        truth = np.array([row[n].sum() for n in names])
+        diff = mag_diff(truth, flux)
+        for c, d in zip(channels, diff):
+            rec[f"{c} diff"] = float(d)
+
+
+def measure_lite_sources(sources, catalog, channels):
+    """Per-source flux (redistributed ``weight_sources`` flux when present,
+    model flux otherwise) and per-band magnitude error vs catalog truth."""
+    records = []
+    for src, row in zip(sources, catalog):
+        if getattr(src, "flux", None) is not None:
+            flux = np.asarray(src.flux).sum(axis=(-2, -1))
+        else:
+            flux = np.asarray(src.get_model()).sum(axis=(-2, -1))
+        rec = {"flux": flux.tolist()}
+        _truth_diff(rec, row, channels, flux)
+        records.append(rec)
+    return records
+
+
 def measure_sources(sources, catalog, channels):
     """Per-source flux and per-band magnitude error vs catalog truth
     (when the catalog carries intensity_<band> truth images)."""
@@ -43,11 +67,6 @@ def measure_sources(sources, catalog, channels):
     for src, row in zip(sources, catalog):
         flux = np.asarray(measure_mod.flux(src))
         rec = {"flux": flux.tolist()}
-        names = [f"intensity_{c}" for c in channels]
-        if all(n in row.dtype.names for n in names):
-            truth = np.array([row[n].sum() for n in names])
-            diff = mag_diff(truth, flux)
-            for c, d in zip(channels, diff):
-                rec[f"{c} diff"] = float(d)
+        _truth_diff(rec, row, channels, flux)
         records.append(rec)
     return records

@@ -1,0 +1,94 @@
+"""Regression harness at reference scale: generated blend sets, the
+batched set-level deblending pipeline, metric records, and the dashboard
+renderer (SURVEY.md §2 #30, reference testing/api.py + measure.py:124-231,
+docs/regression.rst:4-12)."""
+import json
+
+import numpy as np
+import pytest
+
+from scarlet_tpu import testing
+
+
+@pytest.fixture(scope="module")
+def small_set(tmp_path_factory):
+    root = tmp_path_factory.mktemp("regression")
+    paths = testing.generate_blend_set(set_id=4, n=4, seed=1004, root=root)
+    return root, paths
+
+
+class TestBlendSets:
+    def test_generated_set_is_deterministic(self, tmp_path):
+        p1 = testing.generate_blend_set(set_id=7, n=2, seed=42,
+                                        root=tmp_path / "a")
+        p2 = testing.generate_blend_set(set_id=7, n=2, seed=42,
+                                        root=tmp_path / "b")
+        for a, b in zip(p1, p2):
+            da, db = np.load(a, allow_pickle=True), np.load(b,
+                                                            allow_pickle=True)
+            np.testing.assert_array_equal(da["images"], db["images"])
+
+    def test_blend_contents(self, small_set):
+        _, paths = small_set
+        data = np.load(paths[0], allow_pickle=True)
+        C, H, W = data["images"].shape
+        assert data["variance"].shape == (C, H, W)
+        assert data["psfs"].shape[0] == C
+        catalog = data["catalog"]
+        assert len(catalog) >= 3
+        # reference truth convention: per-band full-scene intensity images
+        # (psf_matched_sim.npz catalog dtype)
+        for f in np.asarray(data["filters"]).tolist():
+            f = f.decode() if isinstance(f, bytes) else str(f)
+            assert catalog[0][f"intensity_{f}"].shape == (H, W)
+        # photometric consistency: summed truth ~ image flux (PSF conserves)
+        total_truth = sum(
+            catalog[i]["intensity_r"].sum() for i in range(len(catalog)))
+        assert total_truth > 0
+
+    def test_full_set_sizes(self):
+        """Sets 4/5 regenerate at reference-scale sizes (50/14 blends)."""
+        assert testing.api._GENERATED[4] == 50
+        assert testing.api._GENERATED[5] == 14
+
+
+class TestBatchedPipeline:
+    def test_deblend_and_measure_lite(self, small_set):
+        root, paths = small_set
+        results = testing.deblend_and_measure(
+            set_ids=[91], paths=paths, pipeline="lite", root=root,
+            branch="test", max_iter=30)
+        records = results[91]
+        assert len(records) == len(paths)
+        for rec in records:
+            assert np.isfinite(rec["logL"])
+            assert rec["logL"] > rec["init logL"]
+            assert 1 <= rec["iterations"] <= 30
+            assert rec["n_sources"] >= 1
+            # per-band magnitude errors vs the truth catalog
+            diffs = [s for s in rec["sources"] if "r diff" in s]
+            assert diffs, "no truth-matched sources measured"
+
+        # records landed in the store
+        stored = testing.load_records(91, branch="test", root=root)
+        assert stored and len(stored[-1]["records"]) == len(paths)
+
+    def test_dashboard_renders(self, small_set):
+        root, _ = small_set
+        written = testing.render_dashboard(set_ids=(91,), root=root)
+        names = {p.name for p in written}
+        assert "index.html" in names
+        assert any(p.suffix == ".png" for p in written)
+
+    def test_committed_baseline_is_current_format(self):
+        """The committed set-4 baseline parses and carries the metric set."""
+        import pathlib
+
+        path = pathlib.Path(testing.__file__).parent / "baselines/set4.json"
+        runs = json.loads(path.read_text())
+        records = runs[-1]["records"]
+        assert len(records) == 50
+        for key in ("logL", "iterations", "init logL", "n_sources"):
+            assert key in records[0]
+        med = sorted(r["logL"] for r in records)[25]
+        assert np.isfinite(med)
