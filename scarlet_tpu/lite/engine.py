@@ -94,6 +94,12 @@ class LiteFitConfig:
     use_pallas_scene: bool = False  # VMEM scene assembly + grad gather (TPU)
     pallas_interpret: bool = False
     scene_pad: int = -1           # -1: one full (largest) box — always safe
+    # band-axis model parallelism (shard_map): inside a shard_map over a
+    # mesh axis of this name, scene_shape[0] is the LOCAL channel count and
+    # cross-band reductions (logL, morph gradients, SED means, threshold
+    # cuts) psum over the axis.  n_bands_total = global channel count.
+    band_axis: Optional[str] = None
+    n_bands_total: Optional[int] = None
 
     @property
     def n_buckets(self):
@@ -302,6 +308,14 @@ def make_scene(state, config):
     return scene[:, P:P + H, P:P + W]
 
 
+def _band_sum(x, config):
+    """Sum a locally-reduced value over the band mesh axis (identity when
+    band parallelism is off)."""
+    if config.band_axis is not None:
+        return jax.lax.psum(x, config.band_axis)
+    return x
+
+
 def _split_complex(k):
     """Complex array -> stacked (2, ...) float re/im."""
     return jnp.stack([jnp.real(k), jnp.imag(k)])
@@ -376,9 +390,10 @@ def _prox_morph_bucket(morphs, seds, data, config, b):
 
     if config.bg_thresh is not None:
         model = seds[:, :, None, None] * morphs[:, None]
-        cut = jnp.all(
-            model < (config.bg_thresh * data.bg_rms)[None, :, None, None],
+        above = jnp.sum(
+            model >= (config.bg_thresh * data.bg_rms)[None, :, None, None],
             axis=1)
+        cut = _band_sum(above, config) == 0
         morphs = jnp.where(cut, 0.0, morphs)
     else:
         morphs = jnp.maximum(morphs, 0.0)
@@ -413,7 +428,8 @@ def fit_step(state, data, config):
     scene = make_scene(state, config)
     model = _convolve(scene, data.kernel_rfft, config)
     residual = data.weights * (model - data.images)
-    logL = -0.5 * jnp.sum(residual * (model - data.images))
+    logL = _band_sum(-0.5 * jnp.sum(residual * (model - data.images)),
+                     config)
 
     grad_scene = _convolve(residual, data.grad_kernel_rfft, config)
     gpad = jnp.pad(grad_scene, ((0, 0), (P, P), (P, P)))
@@ -436,12 +452,13 @@ def fit_step(state, data, config):
             g_seds, g_morphs = grad_gather(
                 gpad, seds_b, morphs_b, state.origins[b], P,
                 interpret=config.pallas_interpret)
+            g_morphs = _band_sum(g_morphs, config)
         else:
             def grads(origin, sed, morph):
                 g = jax.lax.dynamic_slice(
                     gpad, (zero, origin[0] + P, origin[1] + P), (C, hb, wb))
                 g_sed = jnp.einsum("chw,hw->c", g, morph)
-                g_morph = jnp.einsum("c,chw->hw", sed, g)
+                g_morph = _band_sum(jnp.einsum("c,chw->hw", sed, g), config)
                 return g_sed, g_morph
 
             g_seds, g_morphs = jax.vmap(grads)(
@@ -452,6 +469,7 @@ def fit_step(state, data, config):
             # (lite/parameters.py:133-146)
             def update_sed(sed, g, opt, base, morph):
                 step = base / jnp.maximum(jnp.sum(morph * morph), 1e-12)
+                # morph is band-replicated: no psum
                 return fista_step(
                     sed, g, it, opt, step,
                     prox=lambda x, s: jnp.maximum(x, config.floor))
@@ -464,7 +482,8 @@ def fit_step(state, data, config):
             # produces x_{k+1}; the t/z acceleration update follows
             # (Beck & Teboulle ordering, lite/parameters.py:133-146)
             def morph_y(g, opt, base, sed):
-                step = base / jnp.maximum(jnp.sum(sed * sed), 1e-12)
+                step = base / jnp.maximum(
+                    _band_sum(jnp.sum(sed * sed), config), 1e-12)
                 return opt.z - step * g
 
             stepped = jax.vmap(morph_y)(
@@ -472,9 +491,13 @@ def fit_step(state, data, config):
         else:
             # SED: relative step with a noise-floor minimum
             # (lite/initialization.py:275-279)
+            n_bands = config.n_bands_total or config.scene_shape[0]
+
             def update_sed(sed, g, opt, on):
-                step = jnp.maximum(data.sed_step_min,
-                                   config.sed_step_factor * jnp.mean(sed))
+                step = jnp.maximum(
+                    data.sed_step_min,
+                    config.sed_step_factor
+                    * _band_sum(jnp.sum(sed), config) / n_bands)
                 return adaprox_step(
                     sed, g, it, opt, step,
                     prox=lambda x, s: jnp.maximum(x, config.floor),

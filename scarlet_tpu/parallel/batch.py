@@ -87,9 +87,12 @@ def pack_batch(blend_setups):
     return data, _stack(states)
 
 
-def pack_blends(blends, e_rel=1e-4, min_iter=1):
+def pack_blends(blends, e_rel=1e-4, min_iter=1, platform=None):
     """Build N distinct ``LiteBlend``s to one shared static layout and
     stack them into batch pytrees.
+
+    ``platform`` says where the fit will run ("cpu"/"tpu"; selects the
+    Pallas kernels); default = the current jax context.
 
     The common layout is the elementwise maximum over the batch: scene
     shape, single-bucket box size, component-slot count, and FFT shape.
@@ -130,7 +133,7 @@ def pack_blends(blends, e_rel=1e-4, min_iter=1):
     for bl in blends:
         cfg, d, s = bl.engine_setup(
             e_rel, min_iter, scene_shape=(C, H, W), box_size=box,
-            n_slots=n_slots, fft_shape=fft_shape)
+            n_slots=n_slots, fft_shape=fft_shape, platform=platform)
         configs.append(cfg)
         setups.append((d, s))
 
@@ -235,6 +238,80 @@ def fit_batch_converged(state, data, config, max_iter, segment=10):
     return state, jnp.concatenate(losses, axis=0)
 
 
+def fit_batch_sharded(state, data, config, n_iter, mesh, shard_bands=False):
+    """Run the batched fit under ``shard_map`` over a ("blends", "bands")
+    mesh with explicit collectives.
+
+    The blends axis is pure data parallelism.  With ``shard_bands`` each
+    device additionally holds C/bands channels (model parallelism): the
+    engine psums the cross-band reductions (logL, morphology gradients,
+    SED means, threshold cuts) over the "bands" axis, and the per-shard
+    FFT convolution operates on plain local arrays — channels are batch
+    dims of the 2D FFT, so no cross-device traffic rides the transform
+    (and it runs even on backends whose FFT runtime rejects GSPMD-sharded
+    layouts, e.g. CPU).
+
+    Returns (final_state, losses (n_iter, B)).
+    """
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:                             # newer jax
+        from jax import shard_map
+
+    bands = mesh.shape.get("bands", 1)
+    use_bands = bool(shard_bands) and bands > 1
+    local_cfg = config
+    if use_bands:
+        C, H, W = config.scene_shape
+        if C % bands != 0:
+            raise ValueError(
+                f"channel count {C} not divisible by bands={bands}")
+        local_cfg = dataclasses.replace(
+            config, scene_shape=(C // bands, H, W), band_axis="bands",
+            n_bands_total=C)
+
+    band = "bands" if use_bands else None
+    chan_spec = {
+        "images": P("blends", band),
+        "weights": P("blends", band),
+        "kernel_rfft": P("blends", None, band),
+        "grad_kernel_rfft": P("blends", None, band),
+        "bg_rms": P("blends", band),
+        "sed_step_min": P("blends", band),
+        "fista_step": P("blends"),
+        "box_masks": P("blends"),
+    }
+    data_specs = engine.BlendData(**{
+        name: None if getattr(data, name) is None else (
+            P() if name in _SHARED_FIELDS else chan_spec[name])
+        for name in data._fields
+    })
+
+    sed_opt_spec = jax.tree.map(
+        lambda x: P("blends", None, band) if x.ndim == 3 else P("blends"),
+        state.sed_opt)
+    state_specs = engine.BlendState(
+        seds=P("blends", None, band),
+        morphs=P("blends"),
+        origins=P("blends"),
+        comp_active=P("blends"),
+        sed_opt=sed_opt_spec,
+        morph_opt=jax.tree.map(lambda x: P("blends"), state.morph_opt),
+        active=P("blends"),
+        it=P("blends"),
+        last_loss=P("blends"),
+    )
+
+    def body(s, d):
+        return _fit_batch(s, d, local_cfg, n_iter)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(state_specs, data_specs),
+                   out_specs=(state_specs, P(None, "blends")),
+                   check_rep=False)
+    return jax.jit(fn)(state, data)
+
+
 def make_mesh(n_devices=None, bands=1, devices=None):
     """Build a ("blends", "bands") mesh over the available devices."""
     if devices is None:
@@ -246,33 +323,27 @@ def make_mesh(n_devices=None, bands=1, devices=None):
     return Mesh(devices, ("blends", "bands"))
 
 
-def shard_batch(data, state, mesh, shard_bands=False):
-    """Place batch pytrees on the mesh: the batch (leading) axis of every
-    leaf shards over "blends"; with ``shard_bands`` the channel axis of the
-    image/kernel leaves additionally splits over "bands" (model
-    parallelism — note XLA's CPU FFT rejects sharded-channel layouts, so
-    keep this off for CPU validation runs).  The shared monotonicity
-    tables are replicated across the mesh."""
-    chan_axes = {"images": 1, "weights": 1, "kernel_rfft": 2,
-                 "grad_kernel_rfft": 2, "bg_rms": 1, "sed_step_min": 1}
-
-    def put(x, chan_axis=None, batched=True):
+def shard_batch(data, state, mesh):
+    """Place batch pytrees on the mesh for the GSPMD path: the batch
+    (leading) axis of every leaf shards over "blends"; the shared
+    monotonicity tables replicate.  Band-axis model parallelism uses
+    :func:`fit_batch_sharded` (explicit shard_map collectives) instead —
+    GSPMD channel sharding would route non-default layouts into backend
+    FFT runtimes that reject them."""
+    def put(x, batched=True):
         if x is None:
             return None
         parts = [None] * x.ndim
         if batched:
             parts[0] = "blends"
-        if shard_bands and chan_axis is not None and x.ndim > chan_axis and \
-                mesh.shape["bands"] > 1:
-            parts[chan_axis] = "bands"
         return jax.device_put(x, NamedSharding(mesh, P(*parts)))
 
-    def put_tree(t, chan_axis=None, batched=True):
-        return jax.tree.map(lambda x: put(x, chan_axis, batched), t,
+    def put_tree(t, batched=True):
+        return jax.tree.map(lambda x: put(x, batched), t,
                             is_leaf=lambda x: x is None)
 
     data = engine.BlendData(**{
-        name: put_tree(getattr(data, name), chan_axes.get(name),
+        name: put_tree(getattr(data, name),
                        batched=name not in _SHARED_FIELDS)
         for name in data._fields
     })

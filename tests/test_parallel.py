@@ -142,23 +142,31 @@ class TestBatched:
         np.testing.assert_allclose(np.asarray(out_losses),
                                    np.asarray(ref_losses), rtol=1e-5)
 
-    def test_sharded_mesh_2d(self, sim_blend):
-        """2D ("blends", "bands") mesh with the batch split 4x2 over the
-        blends axis groups — validates the mesh plumbing; band-axis model
-        parallelism of the FFT path is deferred (CPU XLA FFT rejects
-        sharded-channel layouts; blends-DP is the production layout since
-        blends are independent)."""
+    def test_band_sharded_shard_map(self, sim_blend):
+        """Band-axis model parallelism (shard_map over a ("blends",
+        "bands") mesh with explicit psum collectives) must match the
+        unsharded fit: each device holds C/bands channels; the FFT stays
+        local per shard."""
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
+        # 4-channel synthetic blend (6 channels don't split 2-ways... 6 do;
+        # the sim has 6 bands which splits over bands=2 evenly)
         config, data, state = sim_blend.engine_setup()
-        bdata, bstate = parallel.replicate_blend(data, state, 8)
-        ref_state, ref_losses = parallel.fit_batch(bstate, bdata, config, 3)
+        C = config.scene_shape[0]
+        bands = 2
+        if C % bands != 0:
+            pytest.skip(f"{C} channels not divisible by {bands}")
+        bdata, bstate = parallel.replicate_blend(data, state, 4)
+        ref_state, ref_losses = parallel.fit_batch(bstate, bdata, config, 5)
 
-        mesh = parallel.make_mesh(8, bands=2)
-        sdata, sstate = parallel.shard_batch(bdata, bstate, mesh,
-                                             shard_bands=False)
+        mesh = parallel.make_mesh(8, bands=bands)
         with mesh:
-            out_state, out_losses = parallel.fit_batch(sstate, sdata, config,
-                                                       3)
+            out_state, out_losses = parallel.fit_batch_sharded(
+                bstate, bdata, config, 5, mesh, shard_bands=True)
         np.testing.assert_allclose(np.asarray(out_losses),
                                    np.asarray(ref_losses), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+            (out_state.seds, out_state.morphs),
+            (ref_state.seds, ref_state.morphs))
