@@ -45,3 +45,39 @@ fig = st.display.show_scene(
     norm=st.display.AsinhPercentileNorm(images))
 fig.savefig("quickstart_scene.png", dpi=100)
 print("wrote quickstart_scene.png")
+
+# --- save the fitted scene (reference: 0-quickstart.ipynb "hsc_cosmos_35.sca"
+# pickle cells): sources pickle with their optimizer moments, so a reload
+# warm-starts ----------------------------------------------------------------
+import pickle
+
+with open("hsc_cosmos_35.sca", "wb") as f:
+    pickle.dump(sources, f)
+
+with open("hsc_cosmos_35.sca", "rb") as f:
+    sources2 = pickle.load(f)
+model0 = blend.get_model()
+blend2 = st.Blend(sources2, obs)
+np.testing.assert_allclose(np.asarray(blend2.get_model()),
+                           np.asarray(model0), rtol=1e-6)
+print("pickle round trip: model preserved")
+
+# refit the reloaded scene with an extra source added at the residual peak
+# (the new source must share the reloaded sources' frame object — the same
+# identity requirement as the reference, component.py:247)
+resid = np.sum(np.asarray(obs.data) -
+               np.asarray(obs.render(blend2.get_model())), axis=0)
+py, px = np.unravel_index(np.argmax(resid), resid.shape)
+frame2 = sources2[0].frame
+new_src = st.CompactExtendedSource(frame2, (float(py), float(px)), obs)
+sources2 = list(sources2) + [new_src]
+blend2 = st.Blend(sources2, obs)
+it2, logL2 = blend2.fit(3 * max_iter, e_rel=1e-4)
+print(f"refit with added source at ({py}, {px}): "
+      f"logL {-blend2.loss[0]:.1f} -> {logL2:.1f} in {it2} iterations")
+# the new source initializes from the data (reference convention), so the
+# combined model starts far off; the refit must recover it
+assert blend2.loss[-1] < blend2.loss[0] / 20, "refit failed to recover"
+if not os.environ.get("SCARLET_TPU_FAST"):
+    assert logL2 >= logL - 1e-3, \
+        "converged refit with an extra source degraded the fit"

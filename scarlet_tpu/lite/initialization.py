@@ -20,30 +20,11 @@ from ..detect import bounds_to_bbox, get_detect_wavelets
 from .measure import calculate_snr
 from .models import LiteSource, LiteFactorizedComponent, LiteComponent
 from .parameters import AdaproxParameter, FistaParameter
-from .utils import project_morph_to_center, insert_image
+from .utils import (project_morph_to_center, insert_image,
+                    host_convolve as _host_convolve)
 
 logger = logging.getLogger("scarlet_tpu.lite.initialization")
 
-
-def _host_convolve(observation, image):
-    """Per-band convolution to the observed seeing on the host (scipy FFT).
-
-    Init-time equivalent of ``observation.convolve(..., mode="real")``
-    (lite/models.py:376-410): initialization shapes vary per source/blend,
-    and routing them through XLA costs a fresh compile per shape.  scipy
-    matches the XLA depthwise path to f32 rounding (~2e-7 relative).
-    """
-    kernel = observation.diff_kernel
-    if kernel is None:
-        return np.asarray(image)
-    from scipy.signal import fftconvolve
-
-    image = np.asarray(image)
-    kernel = np.asarray(kernel.image)
-    return np.stack([
-        fftconvolve(image[b], kernel[b], mode="same")
-        for b in range(image.shape[0])
-    ]).astype(image.dtype, copy=False)
 
 __all__ = [
     "get_min_psf",

@@ -5,7 +5,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..bbox import Box, overlapped_slices
-from .utils import insert_image
+from .utils import insert_image, host_convolve
 
 __all__ = ["calculate_snr", "weight_sources"]
 
@@ -42,7 +42,7 @@ def weight_sources(blend, mask_footprint=True):
     if mask_footprint:
         images = images * (np.asarray(observation.weights) > 0)
     model = blend.get_model()
-    model = np.array(observation.convolve(jnp.asarray(model), mode="real"))
+    model = np.array(host_convolve(observation, model))
     model[model < 0] = 0
 
     for src in blend.sources:
@@ -53,8 +53,7 @@ def weight_sources(blend, mask_footprint=True):
         _model = np.asarray(src.get_model())
         bbox = src.bbox.grow((0, py, px))
         _model = insert_image(bbox, src.bbox, _model)
-        _model = np.array(observation.convolve(jnp.asarray(_model),
-                                               mode="real"))
+        _model = np.array(host_convolve(observation, _model))
         _model[_model < 0] = 0
         slices = overlapped_slices(observation.bbox, bbox)
         numerator = _model[slices[1]]

@@ -28,6 +28,13 @@ __all__ = [
 ]
 
 
+def _default_platform(jax_mod):
+    """Platform jit-compiled code will actually run on: an active
+    ``jax.default_device(...)`` context wins over the default backend."""
+    dev = jax_mod.config.jax_default_device
+    return dev.platform if dev is not None else jax_mod.default_backend()
+
+
 def _param_value(p):
     return p.x if isinstance(p, LiteParameter) else jnp.asarray(p)
 
@@ -442,7 +449,7 @@ class LiteBlend:
     # -- compiled fit ------------------------------------------------------
     def engine_setup(self, e_rel=1e-4, min_iter=1, bucket_mode="single",
                      scene_shape=None, box_size=None, n_slots=None,
-                     fft_shape=None):
+                     fft_shape=None, platform=None):
         """Public access to the (config, data, state) pytrees of the
         compiled engine — the entry point for batched fitting
         (scarlet_tpu.parallel).
@@ -466,13 +473,16 @@ class LiteBlend:
         """
         return self._engine_setup(e_rel, min_iter, bucket_mode=bucket_mode,
                                   scene_shape=scene_shape, box_size=box_size,
-                                  n_slots=n_slots, fft_shape=fft_shape)
+                                  n_slots=n_slots, fft_shape=fft_shape,
+                                  platform=platform)
 
     def _engine_setup(self, e_rel, min_iter, bucket_mode="single",
                       scene_shape=None, box_size=None, n_slots=None,
-                      fft_shape=None):
+                      fft_shape=None, platform=None):
         import jax as _jax
 
+        if platform is None:
+            platform = _default_platform(_jax)
         if bucket_mode not in ("single", "per-size"):
             raise ValueError(
                 f"bucket_mode must be 'single' or 'per-size', "
@@ -656,9 +666,11 @@ class LiteBlend:
             min_iter=min_iter,
             fit_center_radius=fc_radius,
             # VMEM-resident monotonicity + scene-placement kernels on
-            # accelerators; the fused XLA paths on CPU
-            use_pallas=_jax.default_backend() != "cpu",
-            use_pallas_scene=_jax.default_backend() != "cpu",
+            # accelerators; the fused XLA paths on CPU.  ``platform``
+            # says where the FIT will run; default = the current context
+            # (a jax.default_device(cpu) context overrides the backend)
+            use_pallas=platform != "cpu",
+            use_pallas_scene=platform != "cpu",
             scene_pad=scene_pad,
             optimizer="fista" if use_fista else "adaprox",
         )

@@ -99,3 +99,23 @@ def get_circle_mask(diameter, dtype=np.float64):
     circle = np.ones((diameter, diameter), dtype=dtype)
     circle[R > r] = 0
     return circle
+
+def host_convolve(observation, image):
+    """Per-band convolution to the observed seeing on the host (scipy FFT).
+
+    Host-side equivalent of ``observation.convolve(..., mode="real")``
+    (lite/models.py:376-410) for init/measure-time code whose shapes vary
+    per source/blend — routing those through XLA costs a fresh compile per
+    shape.  Matches the XLA depthwise path to f32 rounding (~2e-7 rel).
+    """
+    kernel = observation.diff_kernel
+    if kernel is None:
+        return np.asarray(image)
+    from scipy.signal import fftconvolve
+
+    image = np.asarray(image)
+    kernel = np.asarray(kernel.image)
+    return np.stack([
+        fftconvolve(image[b], kernel[b], mode="same")
+        for b in range(image.shape[0])
+    ]).astype(image.dtype, copy=False)

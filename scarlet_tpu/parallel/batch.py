@@ -163,16 +163,22 @@ def unpack_blends(blends, state, losses=None, reweight=True):
 
     if losses is not None:
         losses = np.asarray(losses)
-    for i, bl in enumerate(blends):
-        sub = jax.tree.map(lambda x: x[i], state,
-                           is_leaf=lambda x: x is None)
-        ran = int(sub.it) - bl.it
-        if losses is not None and ran > 0:
-            bl.loss.extend(losses[:ran, i].tolist())
-        bl.it = int(sub.it)
-        bl._write_back(sub)
-        if reweight:
-            weight_sources(bl)
+    # one bulk device->host fetch; per-blend slicing then stays on the host
+    # (slicing device arrays per blend costs thousands of tiny transfers),
+    # and the write-back's small arrays are pinned to CPU so they don't
+    # each round-trip through an accelerator
+    state = jax.device_get(state)
+    with jax.default_device(jax.devices("cpu")[0]):
+        for i, bl in enumerate(blends):
+            sub = jax.tree.map(lambda x: x[i], state,
+                               is_leaf=lambda x: x is None)
+            ran = int(sub.it) - bl.it
+            if losses is not None and ran > 0:
+                bl.loss.extend(losses[:ran, i].tolist())
+            bl.it = int(sub.it)
+            bl._write_back(sub)
+            if reweight:
+                weight_sources(bl)
     return blends
 
 
