@@ -532,9 +532,11 @@ class LiteBlend:
 
         if obs.diff_kernel is not None:
             if fft_shape is None:
-                # smallest exact (even, 5-smooth) shape: radix-5 FFT sizes
-                # are faster on TPU than the larger next_fast_len choices
-                fft_shape = fft_ops.minimal_even_fft_shape(
+                # smallest exact same-crop (even, 5-smooth) shape: the fit
+                # only keeps the scene-size center crop, so circular
+                # aliasing in the discarded margin is free — ~1.6x less
+                # FFT work than the full linear-convolution shape
+                fft_shape = fft_ops.minimal_same_fft_shape(
                     images, obs.diff_kernel.image, axes=(1, 2))
             diff_kernel = obs.diff_kernel.image
         else:

@@ -34,6 +34,8 @@ __all__ = [
     "zero_pad",
     "fast_zero_pad",
     "good_fft_shape",
+    "minimal_even_fft_shape",
+    "minimal_same_fft_shape",
     "transform",
     "inverse_transform",
     "Fourier",
@@ -181,6 +183,31 @@ def minimal_even_fft_shape(im_or_shape1, im_or_shape2, axes=(-2, -1)):
     shape2 = np.asarray(getattr(im_or_shape2, "shape", im_or_shape2))
     return tuple(
         _next_even_5smooth(int(shape1[ax] + shape2[ax] - 1)) for ax in axes)
+
+
+def minimal_same_fft_shape(im_or_shape1, im_or_shape2, axes=(-2, -1)):
+    """Smallest even {2,3,5}-smooth FFT shape whose CENTER-CROPPED
+    ('same'-size) circular convolution equals the full linear convolution.
+
+    The full linear convolution needs ``s1 + s2 - 1`` points, but the hot
+    path only keeps the centered ``s1`` crop — circular wrap-around is
+    confined to the discarded margin whenever ``M >= s1 + (s2 - 1) // 2``
+    (odd kernel axes; bit-verified across parities in tests/test_fft.py).
+    For the engine's (100, 90) HSC case this is (80, 72): ~1.6x less FFT
+    work per convolution, exactly.  Even kernel axes keep the full exact
+    size (their pixel-center convention shifts with the FFT parity).
+    """
+    shape1 = np.asarray(getattr(im_or_shape1, "shape", im_or_shape1))
+    shape2 = np.asarray(getattr(im_or_shape2, "shape", im_or_shape2))
+    out = []
+    for ax in axes:
+        s1, s2 = int(shape1[ax]), int(shape2[ax])
+        if s2 % 2 == 1:
+            m = max(s1 + (s2 - 1) // 2, s2)
+        else:
+            m = s1 + s2 - 1
+        out.append(_next_even_5smooth(m))
+    return tuple(out)
 
 
 def transform(image, fft_shape, axes=(-2, -1)):

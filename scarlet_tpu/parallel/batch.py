@@ -124,7 +124,7 @@ def pack_blends(blends, e_rel=1e-4, min_iter=1, platform=None):
     for bl in blends:
         dk = bl.observation.diff_kernel
         if dk is not None:
-            fs = fft_ops.minimal_even_fft_shape(
+            fs = fft_ops.minimal_same_fft_shape(
                 (C, H, W), np.asarray(dk.image).shape, axes=(1, 2))
             fft_shape = fs if fft_shape is None else tuple(
                 max(a, b) for a, b in zip(fft_shape, fs))

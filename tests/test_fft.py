@@ -113,3 +113,32 @@ class TestFourier:
         there = fft.shift(psf, (0.3, -0.2), return_fourier=False)
         back = np.asarray(fft.shift(there, (-0.3, 0.2), return_fourier=False))
         assert_almost_equal(back, psf, decimal=4)
+
+
+class TestMinimalSameFFTShape:
+    """The hot-path 'same'-crop FFT shape: circular aliasing must stay
+    entirely in the discarded margin (exactness vs the full linear-
+    convolution shape), across all size parities."""
+
+    def test_exact_across_parities(self):
+        rng = np.random.default_rng(3)
+        for S in ((58, 48), (57, 47), (30, 31), (21, 20)):
+            for Q in ((43, 43), (41, 43), (15, 15), (14, 15), (14, 16)):
+                img = rng.standard_normal(S)
+                ker = rng.standard_normal(Q)
+                full = fft.minimal_even_fft_shape(S, Q, axes=(0, 1))
+                kf = fft.transform(np.asarray(ker), full, (0, 1))
+                ref = np.asarray(
+                    fft.convolve_fft(np.asarray(img), kf, full, (0, 1)))
+                same = fft.minimal_same_fft_shape(S, Q, axes=(0, 1))
+                ks = fft.transform(np.asarray(ker), same, (0, 1))
+                out = np.asarray(
+                    fft.convolve_fft(np.asarray(img), ks, same, (0, 1)))
+                assert all(m <= f for m, f in zip(same, full)), (S, Q)
+                np.testing.assert_allclose(out, ref, atol=1e-9,
+                                           err_msg=f"S={S} Q={Q} M={same}")
+
+    def test_hsc_case_shrinks(self):
+        # the engine's HSC case: (100, 90) full -> (80, 72) same-crop
+        assert fft.minimal_same_fft_shape((5, 58, 48), (5, 43, 43),
+                                          axes=(1, 2)) == (80, 72)
