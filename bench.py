@@ -118,16 +118,17 @@ def main():
     bdata, bstate = parallel.replicate_blend(data, state, BATCH)
 
     def run():
-        # converged early-exit in 10-iteration compiled segments (the
-        # reference's e_rel stop, batched); value fetches synchronize
-        out_state, losses = parallel.fit_batch_converged(
-            bstate, bdata, config, MAX_ITER, segment=10)
+        # converged early-exit evaluated on device every 25 iterations
+        # (the reference's e_rel stop, batched); value fetches synchronize
+        out_state, losses = parallel.fit_batch_device_converged(
+            bstate, bdata, config, MAX_ITER, check_every=25)
         sync = float(jnp.sum(out_state.last_loss))
         return out_state, losses, sync
 
     _stamp(t00, "single blend initialized")
-    # warmup: compile the segment program + settle transfers (10 iters)
-    parallel.fit_batch_converged(bstate, bdata, config, 10, segment=10)
+    # warmup: compile + settle transfers (one short run)
+    parallel.fit_batch_device_converged(bstate, bdata, config, 25,
+                                        check_every=25)
     _stamp(t00, "steady-state fit compiled")
     out_state, losses, _ = run()
     _stamp(t00, "steady-state warm run done")
@@ -157,8 +158,8 @@ def main():
         wcfg, wdata, wstate = parallel.pack_blends(warm, e_rel=1e-4,
                                                    platform=fit_platform)
     wdata, wstate = jax.device_put((wdata, wstate), jax.devices()[0])
-    wout, _ = parallel.fit_batch_converged(wstate, wdata, wcfg, 10,
-                                           segment=10)
+    wout, _ = parallel.fit_batch_device_converged(wstate, wdata, wcfg,
+                                                  MAX_ITER, check_every=25)
     float(jnp.sum(wout.last_loss))
     _stamp(t00, "end-to-end warmup done")
 
@@ -175,8 +176,8 @@ def main():
                                          jax.devices()[0])
     jax.block_until_ready(e2e_state.morphs)
     t2 = time.perf_counter()
-    e2e_out, e2e_losses = parallel.fit_batch_converged(
-        e2e_state, e2e_data, e2e_config, MAX_ITER, segment=10)
+    e2e_out, e2e_losses = parallel.fit_batch_device_converged(
+        e2e_state, e2e_data, e2e_config, MAX_ITER, check_every=25)
     float(jnp.sum(e2e_out.last_loss))   # sync
     t3 = time.perf_counter()
     parallel.unpack_blends(blends, e2e_out, e2e_losses, reweight=False)

@@ -13,6 +13,7 @@ from .batch import (  # noqa: F401
     replicate_blend,
     fit_batch,
     fit_batch_converged,
+    fit_batch_device_converged,
     fit_batch_sharded,
     make_mesh,
     shard_batch,

@@ -38,6 +38,7 @@ __all__ = [
     "replicate_blend",
     "fit_batch",
     "fit_batch_converged",
+    "fit_batch_device_converged",
     "make_mesh",
     "shard_batch",
 ]
@@ -216,6 +217,61 @@ fit_batch = partial(jax.jit, static_argnames=("config", "n_iter"))(_fit_batch)
 _fit_batch_donating = partial(
     jax.jit, static_argnames=("config", "n_iter"), donate_argnums=(0,)
 )(_fit_batch)
+
+
+def _fit_batch_while(state, data, config, max_iter, check_every):
+    """Whole batched fit as ONE device program: a ``lax.while_loop`` over
+    ``check_every``-iteration scan segments that stops as soon as every
+    blend's convergence mask clears.  No host round-trips (each
+    between-segment sync costs ~50 ms over a TPU tunnel)."""
+    n_seg = -(-max_iter // check_every)
+    B = state.active.shape[0]
+    dtype = data.images.dtype      # logL dtype (last_loss may be widened)
+    step = jax.vmap(lambda st, dt: engine.fit_step(st, dt, config),
+                    in_axes=(0, _data_in_axes(data)))
+
+    def seg(carry):
+        s, losses, i = carry
+        s2, seg_losses = jax.lax.scan(lambda ss, _: step(ss, data), s, None,
+                                      length=check_every)
+        losses = jax.lax.dynamic_update_slice(
+            losses, seg_losses,
+            (i * check_every, jnp.asarray(0, i.dtype)))
+        return s2, losses, i + 1
+
+    def cond(carry):
+        s, _, i = carry
+        return jnp.any(s.active) & (i < n_seg)
+
+    losses0 = jnp.zeros((n_seg * check_every, B), dtype)
+    out, losses, n_run = jax.lax.while_loop(
+        cond, seg, (state, losses0, jnp.asarray(0, jnp.int32)))
+    return out, losses, n_run * check_every
+
+
+_fit_batch_while_jit = partial(
+    jax.jit, static_argnames=("config", "max_iter", "check_every"),
+    donate_argnums=(0,),
+)(_fit_batch_while)
+
+
+def fit_batch_device_converged(state, data, config, max_iter,
+                               check_every=10):
+    """Fit until every blend converges (or ``max_iter``), with the
+    convergence early-exit evaluated ON DEVICE every ``check_every``
+    iterations — one compiled call, zero host syncs.
+
+    Returns (final_state, losses (<=max_iter, B)) like
+    :func:`fit_batch_converged`; rows past the executed count repeat the
+    frozen losses (truncated here to the executed segments).
+    """
+    state = jax.tree.map(
+        lambda x: None if x is None else jnp.copy(x), state,
+        is_leaf=lambda x: x is None)
+    out, losses, n_run = _fit_batch_while_jit(state, data, config, max_iter,
+                                              check_every)
+    n = min(int(n_run), max_iter)
+    return out, losses[:n]
 
 
 def fit_batch_converged(state, data, config, max_iter, segment=10):

@@ -170,3 +170,24 @@ class TestBatched:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
             (out_state.seds, out_state.morphs),
             (ref_state.seds, ref_state.morphs))
+
+
+class TestDeviceConverged:
+    def test_matches_host_segments(self, sim_blend):
+        """The single-program device-side convergence loop must match the
+        host-segmented fit (same per-blend stops, same losses)."""
+        config, data, state = sim_blend.engine_setup(e_rel=1e-3)
+        bdata, bstate = parallel.replicate_blend(data, state, 4)
+        ref_state, ref_losses = parallel.fit_batch_converged(
+            bstate, bdata, config, 40, segment=10)
+        out_state, out_losses = parallel.fit_batch_device_converged(
+            bstate, bdata, config, 40, check_every=10)
+        n = min(ref_losses.shape[0], out_losses.shape[0])
+        np.testing.assert_allclose(np.asarray(out_losses[:n]),
+                                   np.asarray(ref_losses[:n]), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_state.it),
+                                      np.asarray(ref_state.it))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+            out_state.seds, ref_state.seds)
