@@ -21,7 +21,7 @@ numbers — BASELINE.md).
 """
 import json
 import time
-from concurrent.futures import ThreadPoolExecutor
+
 
 import numpy as np
 
@@ -143,47 +143,27 @@ def main():
         final_logL = float("nan")
     n_ran = int(losses.shape[0])
 
-    # ---- end-to-end: distinct blends, init + pack + fit + write-back ----
+    # ---- end-to-end: distinct blends through the multiprocess host
+    # pipeline (init + pack in CPU workers, batched fit on the chip,
+    # write-back + flux reweighting in workers) ----
     variants = make_variants(d, N_E2E)
+    blobs = [{"images": im, "variance": v, "psfs": p, "centers": c}
+             for im, v, p, c in variants]
 
-    def init_one(args):
-        with jax.default_device(cpu):
-            return build_blend(*args)
-
-    # warmup pass over the SAME variants: compiles the packed-layout fit
-    # once (production amortizes compiles across the blend stream)
-    with ThreadPoolExecutor(INIT_THREADS) as pool:
-        warm = list(pool.map(init_one, variants))
-    with jax.default_device(cpu):
-        wcfg, wdata, wstate = parallel.pack_blends(warm, e_rel=1e-4,
-                                                   platform=fit_platform)
-    wdata, wstate = jax.device_put((wdata, wstate), jax.devices()[0])
-    wout, _ = parallel.fit_batch_device_converged(wstate, wdata, wcfg,
-                                                  MAX_ITER, check_every=25)
-    float(jnp.sum(wout.last_loss))
+    pipe = parallel.BlendPipeline(n_workers=INIT_THREADS)
+    # warmup pass over the SAME blobs: compiles the packed-layout fit once
+    # (production amortizes compiles across the blend stream)
+    pipe.run(blobs, parallel.build_lite_blend, max_iter=MAX_ITER,
+             check_every=25)
     _stamp(t00, "end-to-end warmup done")
 
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(INIT_THREADS) as pool:
-        blends = list(pool.map(init_one, variants))
-    t1 = time.perf_counter()
-    with jax.default_device(cpu):
-        e2e_config, e2e_data, e2e_state = parallel.pack_blends(
-            blends, e_rel=1e-4, platform=fit_platform)
-    # commit the packed batch to the accelerator ONCE — leaving it
-    # CPU-committed re-transfers every compiled segment
-    e2e_data, e2e_state = jax.device_put((e2e_data, e2e_state),
-                                         jax.devices()[0])
-    jax.block_until_ready(e2e_state.morphs)
-    t2 = time.perf_counter()
-    e2e_out, e2e_losses = parallel.fit_batch_device_converged(
-        e2e_state, e2e_data, e2e_config, MAX_ITER, check_every=25)
-    float(jnp.sum(e2e_out.last_loss))   # sync
-    t3 = time.perf_counter()
-    parallel.unpack_blends(blends, e2e_out, e2e_losses, reweight=False)
-    t4 = time.perf_counter()
-    e2e_s = t4 - t0
+    records = pipe.run(blobs, parallel.build_lite_blend, max_iter=MAX_ITER,
+                       check_every=25)
+    e2e_s = time.perf_counter() - t0
     e2e_bpm = N_E2E / e2e_s * 60.0
+    timings = dict(pipe.last_timings)
+    pipe.close()
     _stamp(t00, "end-to-end timed run done")
 
     result = {
@@ -196,11 +176,10 @@ def main():
         "end_to_end": {
             "blends_per_min": round(e2e_bpm, 1),
             "n_distinct_blends": N_E2E,
-            "init_s": round(t1 - t0, 2),
-            "pack_s": round(t2 - t1, 2),
-            "fit_s": round(t3 - t2, 2),
-            "writeback_s": round(t4 - t3, 2),
-            "iters_ran": int(e2e_losses.shape[0]),
+            "pipeline_workers": INIT_THREADS,
+            "median_iterations": int(sorted(
+                r["iterations"] for r in records)[N_E2E // 2]),
+            **timings,
         },
     }
     print(json.dumps(result))

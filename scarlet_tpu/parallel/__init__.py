@@ -18,3 +18,8 @@ from .batch import (  # noqa: F401
     make_mesh,
     shard_batch,
 )
+from .pipeline import (  # noqa: F401
+    BlendPipeline,
+    deblend_stream,
+    build_lite_blend,
+)

@@ -224,16 +224,21 @@ def _fit_batch_while(state, data, config, max_iter, check_every):
     ``check_every``-iteration scan segments that stops as soon as every
     blend's convergence mask clears.  No host round-trips (each
     between-segment sync costs ~50 ms over a TPU tunnel)."""
-    n_seg = -(-max_iter // check_every)
+    check_every = min(check_every, max_iter)
+    n_full = max_iter // check_every
+    rem = max_iter - n_full * check_every
     B = state.active.shape[0]
     dtype = data.images.dtype      # logL dtype (last_loss may be widened)
     step = jax.vmap(lambda st, dt: engine.fit_step(st, dt, config),
                     in_axes=(0, _data_in_axes(data)))
 
+    def run_seg(s, length):
+        return jax.lax.scan(lambda ss, _: step(ss, data), s, None,
+                            length=length)
+
     def seg(carry):
         s, losses, i = carry
-        s2, seg_losses = jax.lax.scan(lambda ss, _: step(ss, data), s, None,
-                                      length=check_every)
+        s2, seg_losses = run_seg(s, check_every)
         losses = jax.lax.dynamic_update_slice(
             losses, seg_losses,
             (i * check_every, jnp.asarray(0, i.dtype)))
@@ -241,12 +246,30 @@ def _fit_batch_while(state, data, config, max_iter, check_every):
 
     def cond(carry):
         s, _, i = carry
-        return jnp.any(s.active) & (i < n_seg)
+        return jnp.any(s.active) & (i < n_full)
 
-    losses0 = jnp.zeros((n_seg * check_every, B), dtype)
+    losses0 = jnp.zeros((max_iter, B), dtype)
     out, losses, n_run = jax.lax.while_loop(
         cond, seg, (state, losses0, jnp.asarray(0, jnp.int32)))
-    return out, losses, n_run * check_every
+    n_run = n_run * check_every
+    if rem:
+        # cap-exact tail: the last max_iter % check_every iterations run as
+        # a fixed-length scan, skipped entirely if the batch converged
+        def tail(args):
+            s, losses = args
+            s2, tail_losses = run_seg(s, rem)
+            losses = jax.lax.dynamic_update_slice(
+                losses, tail_losses,
+                (jnp.asarray(n_full * check_every, jnp.int32),
+                 jnp.asarray(0, jnp.int32)))
+            return s2, losses, jnp.asarray(rem, jnp.int32)
+
+        out, losses, n_tail = jax.lax.cond(
+            jnp.any(out.active), tail,
+            lambda args: (args[0], args[1], jnp.asarray(0, jnp.int32)),
+            (out, losses))
+        n_run = n_run + n_tail
+    return out, losses, n_run
 
 
 _fit_batch_while_jit = partial(
@@ -316,9 +339,9 @@ def fit_batch_sharded(state, data, config, n_iter, mesh, shard_bands=False):
     Returns (final_state, losses (n_iter, B)).
     """
     try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:                             # newer jax
         from jax import shard_map
+    except ImportError:                             # older jax
+        from jax.experimental.shard_map import shard_map
 
     bands = mesh.shape.get("bands", 1)
     use_bands = bool(shard_bands) and bands > 1
@@ -370,7 +393,7 @@ def fit_batch_sharded(state, data, config, n_iter, mesh, shard_bands=False):
     fn = shard_map(body, mesh=mesh,
                    in_specs=(state_specs, data_specs),
                    out_specs=(state_specs, P(None, "blends")),
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(fn)(state, data)
 
 

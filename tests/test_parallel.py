@@ -191,3 +191,17 @@ class TestDeviceConverged:
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
             out_state.seds, ref_state.seds)
+
+    def test_cap_exact_when_not_segment_multiple(self, sim_blend):
+        """max_iter is a hard cap even when it is not a multiple of
+        check_every: the tail runs as a remainder-length scan instead of
+        overshooting to the next segment boundary."""
+        config, data, state = sim_blend.engine_setup(e_rel=1e-6)
+        bdata, bstate = parallel.replicate_blend(data, state, 2)
+        out_state, losses = parallel.fit_batch_device_converged(
+            bstate, bdata, config, 13, check_every=5)
+        assert losses.shape[0] == 13
+        np.testing.assert_array_equal(np.asarray(out_state.it), 13)
+        ref_state, ref_losses = parallel.fit_batch(bstate, bdata, config, 13)
+        np.testing.assert_allclose(np.asarray(losses),
+                                   np.asarray(ref_losses), rtol=1e-5)
