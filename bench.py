@@ -7,10 +7,12 @@ scarlet/testing/settings.py:1-2):
 1. steady-state: one initialized blend replicated into a 512-blend batch,
    timed on the compiled fit alone (device throughput ceiling);
 2. end-to-end: 256 *distinct* blends (dihedral transforms + fresh noise
-   draws of the real data), timed from raw arrays through host
-   initialization, heterogeneous packing, the batched fit, and per-blend
-   write-back — the production "stream of different blends" number that
-   replaces the reference's serial per-blend loop (testing/api.py:216-226).
+   draws of the real data), timed from raw pixel stacks through the
+   device stream path (parallel.stream): batched on-device
+   initialization, the batched fit, and per-source flux measurement as
+   three compiled programs — the production "stream of different blends"
+   number that replaces the reference's serial per-blend loop
+   (testing/api.py:216-226).
 
 Prints ONE JSON line:
   {"metric": ..., "value": blends/min, "unit": ..., "vs_baseline": ...,
@@ -28,7 +30,6 @@ import numpy as np
 MAX_ITER = 100
 BATCH = 512
 N_E2E = 256
-INIT_THREADS = 8
 
 
 def load_data():
@@ -42,12 +43,18 @@ def load_data():
     }
 
 
+def _model_psf():
+    from scarlet_tpu import lite
+
+    return lite.integrated_circular_gaussian(sigma=0.8)[None].astype(
+        np.float32)
+
+
 def build_blend(images, variance, psfs, centers):
     from scarlet_tpu import lite
 
     weights = (1.0 / np.maximum(variance, 1e-12)).astype(np.float32)
-    model_psf = lite.integrated_circular_gaussian(sigma=0.8)[None].astype(
-        np.float32)
+    model_psf = _model_psf()
     obs = lite.LiteObservation(images, variance, weights, psfs,
                                model_psf=model_psf)
     sources = lite.init_all_sources_main(obs, centers, min_snr=50)
@@ -143,27 +150,29 @@ def main():
         final_logL = float("nan")
     n_ran = int(losses.shape[0])
 
-    # ---- end-to-end: distinct blends through the multiprocess host
-    # pipeline (init + pack in CPU workers, batched fit on the chip,
-    # write-back + flux reweighting in workers) ----
+    # ---- end-to-end: distinct blends through the DEVICE stream path
+    # (batched init + fit + measurement as three compiled programs; no
+    # per-blend host work — parallel.stream) ----
     variants = make_variants(d, N_E2E)
-    blobs = [{"images": im, "variance": v, "psfs": p, "centers": c}
-             for im, v, p, c in variants]
+    e2e_images = np.stack([v[0] for v in variants])
+    e2e_var = np.stack([v[1] for v in variants])
+    e2e_psfs = np.stack([v[2] for v in variants])
+    e2e_centers = np.stack([np.asarray(v[3]) for v in variants])
+    model_psf = _model_psf()
 
-    pipe = parallel.BlendPipeline(n_workers=INIT_THREADS)
-    # warmup pass over the SAME blobs: compiles the packed-layout fit once
-    # (production amortizes compiles across the blend stream)
-    pipe.run(blobs, parallel.build_lite_blend, max_iter=MAX_ITER,
-             check_every=25)
+    def run_e2e():
+        return parallel.deblend_device_stream(
+            e2e_images, e2e_var, e2e_psfs, e2e_centers, model_psf,
+            box_size=59, n_slots=10, max_iter=MAX_ITER, check_every=25)
+
+    run_e2e()   # warmup: compiles init + fit + records programs
     _stamp(t00, "end-to-end warmup done")
 
     t0 = time.perf_counter()
-    records = pipe.run(blobs, parallel.build_lite_blend, max_iter=MAX_ITER,
-                       check_every=25)
+    records, _, e2e_losses, _ = run_e2e()
     e2e_s = time.perf_counter() - t0
     e2e_bpm = N_E2E / e2e_s * 60.0
-    timings = dict(pipe.last_timings)
-    pipe.close()
+    timings = {"iters_ran": int(e2e_losses.shape[0])}
     _stamp(t00, "end-to-end timed run done")
 
     result = {
@@ -176,7 +185,7 @@ def main():
         "end_to_end": {
             "blends_per_min": round(e2e_bpm, 1),
             "n_distinct_blends": N_E2E,
-            "pipeline_workers": INIT_THREADS,
+            "path": "device stream (batched init + fit + measure)",
             "median_iterations": int(sorted(
                 r["iterations"] for r in records)[N_E2E // 2]),
             **timings,

@@ -23,3 +23,8 @@ from .pipeline import (  # noqa: F401
     deblend_stream,
     build_lite_blend,
 )
+from .stream import (  # noqa: F401
+    stream_setup,
+    stream_records,
+    deblend_device_stream,
+)

@@ -1,0 +1,487 @@
+"""Device-side batched initialization: raw pixel stacks -> packed engine
+state, entirely on the accelerator.
+
+The host pipeline (`parallel.pipeline`) reproduces the reference's
+per-blend Python initialization (scarlet/lite/initialization.py:321-419)
+object-for-object — at ~150 ms/blend of single-core host work, which caps
+end-to-end throughput far below the chip's fit throughput.  This module is
+the TPU-native production path: the SAME initialization recipe (chi^2
+coadd detection, SDSS symmetrization, exact weighted-monotonic projection,
+threshold trim, SNR-gated bulge/disk split with joint least-squares SEDs,
+PSF fallback), reformulated as one vmapped XLA program over a whole batch
+of blends:
+
+    raw (B,C,H,W) stacks -> stream_setup -> (config, BlendData, BlendState)
+    -> fit_batch_device_converged -> stream_records
+
+No per-blend host work at all: initialization, fitting, convergence, and
+measurement are three compiled programs.
+
+Algorithm parity notes (vs scarlet/lite/initialization.py):
+
+* the monotonic projection runs on the S x S box extracted around each
+  center instead of the full image.  This is EXACT, not an approximation:
+  the weighted-monotonic reference graph only uses the (up to 3) neighbors
+  strictly closer to the center in both coordinates, so the dependency
+  cone of every box pixel lies inside the centered box
+  (tests/test_stream.py checks equality against the host path);
+* the trimmed logical box (initialization.trim_morphology semantics:
+  threshold, centered bounding size, {21, 31, 41, ...} quantization) is
+  realized as a per-slot ``box_mask`` inside the fixed physical S x S
+  bucket — the same representation `pack_blends` uses;
+* the bulge/disk SED least squares (lite/initialization.py:140-185) is
+  solved per band in closed form (2x2 normal equations with a relative
+  ridge), masked to the logical box like the reference's full_box crop.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import fft as fft_ops
+from ..ops import prox as prox_ops
+from ..optim import AdaproxState
+from ..lite import engine
+from ..initialization import get_minimal_boxsize
+
+__all__ = ["stream_setup", "stream_records", "deblend_device_stream"]
+
+
+def _centered_mono_table(S, dtype=np.float32):
+    """Single-candidate monotonicity table for a box with the peak AT the
+    box center (init-time projection; the fit's peak-search tables come
+    from engine.monotonicity_tables)."""
+    from ..cache import Cache
+
+    key = (int(S), str(np.dtype(dtype)))
+    try:
+        return Cache.check("stream_mono_center", key)
+    except KeyError:
+        pass
+    c = (S // 2, S // 2)
+    w = prox_ops.monotonic_weights((S, S), "angle", c).astype(dtype)
+    depth = prox_ops.monotonic_depth(w, (S, S), c)
+    keep = np.zeros((S, S), dtype)
+    keep[c] = 1.0
+    out = (w, keep, int(depth))
+    Cache.set("stream_mono_center", key, out)
+    return out
+
+
+def _mono_project(x, w8, keep, n_iter):
+    """Weighted-monotonic projection of one (S, S) image about its center:
+    Jacobi iteration of ``min(X0, sum_d w_d X[shift_d])`` to the exact
+    sequential-sweep fixed point (engine._prox_morph_bucket semantics,
+    min_gradient=0)."""
+    X0 = x
+    keep_b = keep > 0.5
+
+    def body(_, xx):
+        ref = jnp.zeros_like(xx)
+        for d, (dy, dx) in enumerate(prox_ops.NEIGHBOR_OFFSETS):
+            ref = ref + w8[d] * _shift(xx, dy, dx)
+        return jnp.where(keep_b, X0, jnp.minimum(X0, ref))
+
+    return jax.lax.fori_loop(0, n_iter, body, X0)
+
+
+def _shift(x, dy, dx):
+    """out[y, x] = X[y+dy, x+dx], zero outside."""
+    pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
+    padded = jnp.pad(x, pad)
+    H, W = x.shape
+    return padded[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
+
+
+def _quantized_boxsize(size, cap, min_size=21, increment=10):
+    """jnp version of initialization.get_minimal_boxsize: smallest
+    ``min_size + k*increment`` >= size, capped at the physical box."""
+    over = jnp.maximum(size - min_size, 0)
+    k = (over + increment - 1) // increment
+    return jnp.minimum(min_size + k * increment, cap)
+
+
+def _init_one_blend(images, variance, weights, psfs, centers, center_on,
+                    model_psf, mono_w8, mono_keep, *, S, n_slots, fft_shape,
+                    match_shape, psf_fft_shape, mono_iter, min_snr, thresh,
+                    percentile):
+    """Initialize ONE blend (vmapped over the batch by stream_setup).
+
+    Returns per-blend (data_leaves, state_leaves, aux) with slot-packed
+    arrays at the shared (S, n_slots) layout.
+    """
+    C, H, W = images.shape
+    hS = S // 2
+    dtype = images.dtype
+    tiny = jnp.asarray(1e-20, dtype)
+
+    # --- observation-level quantities -------------------------------------
+    noise_rms = jnp.mean(jnp.sqrt(variance), axis=(1, 2))          # (C,)
+    detect = jnp.sum(images / (noise_rms ** 2)[:, None, None], 0)  # (H,W)
+
+    # difference kernel (fft.match_psf semantics: k-space ratio at the
+    # PSF-matching shape, kernel image at the PSF shape) and its rFFTs at
+    # the fit shape — exactly what engine.make_blend_data precomputes
+    kf = (fft_ops.transform(psfs, match_shape, (-2, -1))
+          / fft_ops.transform(model_psf, match_shape, (-2, -1)))
+    kimage = fft_ops.inverse_transform(kf, match_shape, psfs.shape, (-2, -1))
+    kernel_rfft = fft_ops.transform(kimage, fft_shape, (-2, -1))
+    grad_kernel_rfft = fft_ops.transform(kimage[..., ::-1, ::-1], fft_shape,
+                                         (-2, -1))
+
+    # detection image convolved to each band's seeing (for peak SEDs)
+    convolved = fft_ops.convolve_fft(
+        jnp.broadcast_to(detect, (C, H, W)), kernel_rfft, fft_shape, (-2, -1))
+
+    # PSF SED: model PSF convolved per band, center pixel
+    mh, mw = model_psf.shape[-2:]
+    psf_krfft = fft_ops.transform(kimage, psf_fft_shape, (-2, -1))
+    conv_psf = fft_ops.convolve_fft(
+        jnp.broadcast_to(model_psf[0], (C, mh, mw)), psf_krfft,
+        psf_fft_shape, (-2, -1))
+    psf_sed = conv_psf[:, mh // 2, mw // 2]                        # (C,)
+
+    # PSF morphology seed placed centered in the S x S box (static shapes:
+    # center-crop when the PSF is larger than the box)
+    py, px = psfs.shape[-2] // 2, psfs.shape[-1] // 2
+    ch = min(mh, S)
+    cw = min(mw, S)
+    mp_crop = jax.lax.dynamic_slice(
+        model_psf[0], ((mh - ch) // 2, (mw - cw) // 2), (ch, cw))
+    oy, ox = (S - ch) // 2, (S - cw) // 2
+    psf_morph = jnp.zeros((S, S), dtype).at[oy:oy + ch, ox:ox + cw].set(
+        mp_crop / jnp.maximum(jnp.max(mp_crop), tiny))
+    psf_box_mask = jnp.zeros((S, S), dtype).at[oy:oy + ch, ox:ox + cw].set(1.0)
+
+    # --- padded views for dynamic box extraction --------------------------
+    dpad = jnp.pad(detect, hS)
+    vpad = jnp.pad(jnp.ones((H, W), dtype), hS)
+    ipad = jnp.pad(images, ((0, 0), (hS, hS), (hS, hS)))
+    # PSF-shaped cutouts for the SNR measure
+    ph, pw = psfs.shape[-2:]
+    ipad_p = jnp.pad(images, ((0, 0), (py, py), (px, px)))
+    vpad_p = jnp.pad(variance, ((0, 0), (py, py), (px, px)))
+
+    z0 = jnp.asarray(0, jnp.int32)
+    thresh_val = jnp.mean(noise_rms) * thresh
+    flux_thresh = jnp.asarray(percentile / 100.0, dtype)
+    yy, xx = jnp.mgrid[0:S, 0:S]
+    ridx = jnp.arange(S)
+
+    def per_center(cy, cx):
+        # SNR (lite/measure.py calculate_snr): PSF-weighted peak S/N
+        img_c = jax.lax.dynamic_slice(ipad_p, (z0, cy, cx), (C, ph, pw))
+        var_c = jax.lax.dynamic_slice(vpad_p, (z0, cy, cx), (C, ph, pw))
+        snr = (jnp.sum(img_c * psfs)
+               / jnp.sqrt(jnp.maximum(jnp.sum(psfs * var_c * psfs), tiny)))
+        split_snr = jnp.floor(snr) / min_snr >= 2
+
+        # centered S x S detection cutout; SDSS symmetrization only where
+        # both a pixel and its mirror are inside the image
+        # (prox_uncentered_symmetry leaves the rest untouched)
+        d = jax.lax.dynamic_slice(dpad, (cy, cx), (S, S))
+        valid = jax.lax.dynamic_slice(vpad, (cy, cx), (S, S)) > 0.5
+        both = valid & valid[::-1, ::-1]
+        d = jnp.where(both, jnp.minimum(d, d[::-1, ::-1]), d)
+
+        # exact weighted-monotonic projection about the center
+        m = _mono_project(d, mono_w8, mono_keep, mono_iter)
+
+        # threshold trim (initialization.trim_morphology): zero
+        # sub-threshold pixels, centered quantized logical box
+        m = jnp.where(m > thresh_val, m, jnp.asarray(0.0, dtype))
+        on = m > 0
+        row_on = jnp.any(on, axis=1)
+        col_on = jnp.any(on, axis=0)
+        y0 = jnp.min(jnp.where(row_on, ridx, S))
+        y1 = jnp.max(jnp.where(row_on, ridx, -1))
+        x0 = jnp.min(jnp.where(col_on, ridx, S))
+        x1 = jnp.max(jnp.where(col_on, ridx, -1))
+        contains = (y0 <= hS) & (hS <= y1) & (x0 <= hS) & (hS <= x1)
+        size = 2 * jnp.maximum(
+            jnp.maximum(hS - y0, y1 - hS), jnp.maximum(hS - x0, x1 - hS))
+        half = _quantized_boxsize(size, S) // 2
+        box_mask = ((jnp.abs(yy - hS) <= half)
+                    & (jnp.abs(xx - hS) <= half)).astype(dtype)
+        m = m * box_mask
+
+        morph_max = jnp.max(m)
+        fallback = (~contains) | (morph_max <= 0)
+
+        # peak SED from the image/convolved-detection ratio
+        img_pk = images[:, cy, cx]
+        sed = jnp.maximum(img_pk / convolved[:, cy, cx], 0.0) * morph_max
+        morph = m / jnp.maximum(morph_max, tiny)
+
+        # PSF fallback
+        sed_fb = jnp.maximum(img_pk / psf_sed, 0.0)
+        morph = jnp.where(fallback, psf_morph, morph)
+        sed = jnp.where(fallback, sed_fb, sed)
+        box_mask = jnp.where(fallback, psf_box_mask, box_mask)
+
+        # bulge/disk split candidates (percentile/100 flux threshold)
+        disk = jnp.minimum(morph, flux_thresh)
+        bulge = jnp.maximum(morph - flux_thresh, 0.0)
+        bmax = jnp.max(bulge)
+        dmax = jnp.max(disk)
+        split = split_snr & (~fallback) & (bmax > 0) & (dmax > 0)
+        bulge = bulge / jnp.maximum(bmax, tiny)
+        disk = disk / jnp.maximum(dmax, tiny)
+        return (morph, sed, box_mask, bulge, disk, split,
+                fallback, snr)
+
+    cys = centers[:, 0]
+    cxs = centers[:, 1]
+    (morph1, sed1, bmask, bulge, disk, split, fallback, snr) = jax.vmap(
+        per_center)(cys, cxs)
+
+    # --- joint bulge/disk SEDs (multifit_seds, closed-form 2x2) ----------
+    def conv_box(mor, cy, cx):
+        scene = jnp.zeros((H + 2 * hS, W + 2 * hS), dtype)
+        scene = jax.lax.dynamic_update_slice(scene, mor, (cy, cx))
+        scene = scene[hS:hS + H, hS:hS + W]
+        conv = fft_ops.convolve_fft(
+            jnp.broadcast_to(scene, (C, H, W)), kernel_rfft, fft_shape,
+            (-2, -1))
+        conv = jnp.pad(conv, ((0, 0), (hS, hS), (hS, hS)))
+        return jax.lax.dynamic_slice(conv, (z0, cy, cx), (C, S, S))
+
+    def fit_seds(bu, di, bm, cy, cx):
+        A1 = conv_box(bu, cy, cx) * bm
+        A2 = conv_box(di, cy, cx) * bm
+        y = jax.lax.dynamic_slice(ipad, (z0, cy, cx), (C, S, S)) * bm
+        g11 = jnp.sum(A1 * A1, axis=(1, 2))
+        g22 = jnp.sum(A2 * A2, axis=(1, 2))
+        g12 = jnp.sum(A1 * A2, axis=(1, 2))
+        b1 = jnp.sum(A1 * y, axis=(1, 2))
+        b2 = jnp.sum(A2 * y, axis=(1, 2))
+        # relative ridge keeps the 2x2 solve finite when bulge == disk
+        lam = 1e-6 * jnp.maximum(g11, g22) + tiny
+        g11 = g11 + lam
+        g22 = g22 + lam
+        det = g11 * g22 - g12 * g12
+        sb = (g22 * b1 - g12 * b2) / det
+        sd = (g11 * b2 - g12 * b1) / det
+        return jnp.maximum(sb, 0.0), jnp.maximum(sd, 0.0)
+
+    bulge_sed, disk_sed = jax.vmap(fit_seds)(bulge, disk, bmask, cys, cxs)
+
+    # --- slot packing: (bulge|single, disk) interleaved, compacted -------
+    K = centers.shape[0]
+    prim_morph = jnp.where(split[:, None, None], bulge, morph1)
+    prim_sed = jnp.where(split[:, None], bulge_sed, sed1)
+    origins_k = jnp.stack([cys - hS, cxs - hS], axis=-1).astype(jnp.int32)
+
+    seds2 = jnp.stack([prim_sed, disk_sed], 1).reshape(2 * K, C)
+    morphs2 = jnp.stack([prim_morph, disk], 1).reshape(2 * K, S, S)
+    bmask2 = jnp.stack([bmask, bmask], 1).reshape(2 * K, S, S)
+    origins2 = jnp.stack([origins_k, origins_k], 1).reshape(2 * K, 2)
+    active2 = jnp.stack([center_on, center_on & split], 1).reshape(2 * K)
+    source2 = jnp.stack([jnp.arange(K), jnp.arange(K)], 1).reshape(2 * K)
+
+    order = jnp.argsort(~active2, stable=True)[:n_slots]
+    seds_s = seds2[order]
+    morphs_s = morphs2[order] * active2[order, None, None]
+    bmask_s = bmask2[order]
+    origins_s = origins2[order]
+    active_s = active2[order]
+    source_s = jnp.where(active_s, source2[order], -1)
+    n_active = jnp.sum(active2.astype(jnp.int32))
+
+    data_leaves = dict(
+        kernel_rfft=jnp.stack(
+            [jnp.real(kernel_rfft), jnp.imag(kernel_rfft)]),
+        grad_kernel_rfft=jnp.stack(
+            [jnp.real(grad_kernel_rfft), jnp.imag(grad_kernel_rfft)]),
+        bg_rms=noise_rms,
+        sed_step_min=noise_rms / 10.0,
+        box_masks=bmask_s,
+    )
+    state_leaves = dict(
+        seds=seds_s, morphs=morphs_s, origins=origins_s,
+        comp_active=active_s,
+    )
+    aux = dict(n_active=n_active, overflow=n_active > n_slots,
+               slot_source=source_s, snr=snr, split=split,
+               psf_fallback=fallback)
+    return data_leaves, state_leaves, aux
+
+
+@partial(jax.jit, static_argnames=(
+    "S", "n_slots", "fft_shape", "match_shape", "psf_fft_shape",
+    "mono_iter", "min_snr", "thresh", "percentile"))
+def _stream_init_batch(images, variance, weights, psfs, centers, center_on,
+                       model_psf, mono_w8, mono_keep, *, S, n_slots,
+                       fft_shape, match_shape, psf_fft_shape, mono_iter,
+                       min_snr, thresh, percentile):
+    one = partial(
+        _init_one_blend, S=S, n_slots=n_slots, fft_shape=fft_shape,
+        match_shape=match_shape, psf_fft_shape=psf_fft_shape,
+        mono_iter=mono_iter, min_snr=min_snr, thresh=thresh,
+        percentile=percentile)
+    return jax.vmap(
+        lambda im, va, we, ps, ce, on: one(im, va, we, ps, ce, on,
+                                           model_psf, mono_w8, mono_keep)
+    )(images, variance, weights, psfs, centers, center_on)
+
+
+def stream_setup(images, variance, psfs, centers, model_psf,
+                 weights=None, center_active=None, *, box_size, n_slots,
+                 min_snr=50, thresh=0.5, percentile=25, bg_thresh=None,
+                 e_rel=1e-4, min_iter=1, fft_shape=None, platform=None):
+    """Batched device-side initialization of a stream of blends.
+
+    Parameters
+    ----------
+    images, variance : (B, C, H, W) float32 stacks.
+    psfs : (B, C, ph, pw) per-band observed PSFs.
+    centers : (B, K, 2) integer (y, x) peak positions; pad unused rows
+        anywhere in-image and mark them in ``center_active``.
+    model_psf : (1, mh, mw) target (model-frame) PSF.
+    weights : optional (B, C, H, W); default 1/max(variance, 1e-12).
+    center_active : optional (B, K) bool; default all on.
+    box_size : physical component box S (odd).  Static.
+    n_slots : component slots per blend (>= max expected components; a
+        blend needing more sets ``aux["overflow"]``).  Static.
+
+    Returns (config, data, state, aux): batched BlendData/BlendState ready
+    for ``fit_batch``/``fit_batch_device_converged`` at the same layout
+    `pack_blends` produces, plus per-blend diagnostics (``n_active``,
+    ``overflow``, ``slot_source``, ``snr``, ``split``, ``psf_fallback``).
+    """
+    images = jnp.asarray(images)
+    variance = jnp.asarray(variance)
+    psfs = jnp.asarray(psfs)
+    B, C, H, W = images.shape
+    S = int(box_size)
+    if S % 2 == 0:
+        raise ValueError(f"box_size must be odd, got {S}")
+    if weights is None:
+        weights = 1.0 / jnp.maximum(variance, 1e-12)
+    else:
+        weights = jnp.asarray(weights)
+    centers = jnp.asarray(np.round(np.asarray(centers)), jnp.int32)
+    if center_active is None:
+        center_active = jnp.ones(centers.shape[:2], bool)
+    else:
+        center_active = jnp.asarray(center_active, bool)
+    model_psf = jnp.asarray(model_psf)
+
+    if fft_shape is None:
+        fft_shape = fft_ops.minimal_same_fft_shape(
+            (C, H, W), psfs.shape[1:], axes=(1, 2))
+    match_shape = tuple(fft_ops.good_fft_shape(
+        psfs.shape[1:], model_psf.shape, padding=3, axes=(-2, -1)))
+    psf_fft_shape = tuple(fft_ops.good_fft_shape(
+        model_psf.shape, psfs.shape[1:], padding=3, axes=(-2, -1)))
+
+    dtype = np.dtype(images.dtype)
+    w8, keep_c, depth = _centered_mono_table(S, dtype)
+
+    data_l, state_l, aux = _stream_init_batch(
+        images, variance, weights, psfs, centers, center_active, model_psf,
+        jnp.asarray(w8), jnp.asarray(keep_c), S=S, n_slots=int(n_slots),
+        fft_shape=tuple(fft_shape), match_shape=match_shape,
+        psf_fft_shape=psf_fft_shape, mono_iter=depth, min_snr=float(min_snr),
+        thresh=float(thresh), percentile=float(percentile))
+
+    if platform is None:
+        platform = jax.devices()[0].platform
+    mono_w, mono_keep, fit_depth = engine.monotonicity_tables(
+        (S, S), 1, "angle")
+    config = engine.LiteFitConfig(
+        scene_shape=(C, H, W),
+        box_shapes=((S, S),),
+        bucket_counts=(int(n_slots),),
+        fft_shape=tuple(fft_shape),
+        mono_n_iters=(int(fit_depth),),
+        bg_thresh=bg_thresh,
+        e_rel=float(e_rel),
+        min_iter=int(min_iter),
+        fit_center_radius=1,
+        use_pallas=platform != "cpu",
+        use_pallas_scene=platform != "cpu",
+        scene_pad=S // 2 + 2,
+    )
+
+    data = engine.BlendData(
+        images=images,
+        weights=weights,
+        kernel_rfft=data_l["kernel_rfft"],
+        grad_kernel_rfft=data_l["grad_kernel_rfft"],
+        bg_rms=data_l["bg_rms"],
+        sed_step_min=data_l["sed_step_min"],
+        mono_weights=(jnp.asarray(mono_w.astype(dtype)),),
+        mono_keep=(jnp.asarray(mono_keep.astype(dtype)),),
+        box_masks=(data_l["box_masks"],),
+    )
+    zero_sed = jnp.zeros_like(state_l["seds"])
+    zero_mor = jnp.zeros_like(state_l["morphs"])
+    state = engine.BlendState(
+        seds=(state_l["seds"],),
+        morphs=(state_l["morphs"],),
+        origins=(state_l["origins"],),
+        comp_active=(state_l["comp_active"],),
+        sed_opt=(AdaproxState(m=zero_sed, v=zero_sed, vhat=zero_sed),),
+        morph_opt=(AdaproxState(m=zero_mor, v=zero_mor, vhat=zero_mor),),
+        active=jnp.ones((B,), bool),
+        it=jnp.zeros((B,), jnp.int32),
+        last_loss=jnp.full((B,), jnp.inf, images.dtype),
+    )
+    return config, data, state, aux
+
+
+@jax.jit
+def _stream_records_device(state, aux):
+    seds = state.seds[0]                    # (B, n_slots, C)
+    morphs = state.morphs[0]                # (B, n_slots, S, S)
+    on = state.comp_active[0]               # (B, n_slots)
+    flux = seds * jnp.sum(morphs, axis=(-2, -1))[..., None] * on[..., None]
+    K = aux["snr"].shape[1]
+    src = jnp.where(on, aux["slot_source"], K)   # (B, n_slots)
+    per_source = jax.vmap(
+        lambda f, s: jax.ops.segment_sum(f, s, num_segments=K + 1)[:K]
+    )(flux, src)
+    return per_source                        # (B, K, C)
+
+
+def stream_records(state, losses, aux):
+    """Per-blend measurement records from a fitted stream batch (host dicts;
+    the reductions run on device)."""
+    per_source = np.asarray(_stream_records_device(state, aux))
+    its = np.asarray(state.it)
+    last = np.asarray(state.last_loss)
+    n_act = np.asarray(aux["n_active"])
+    losses = np.asarray(losses)
+    records = []
+    for b in range(per_source.shape[0]):
+        records.append({
+            "iterations": int(its[b]),
+            "logL": float(last[b]),
+            "init logL": float(losses[0, b]) if losses.size else float("nan"),
+            "n_components": int(n_act[b]),
+            "flux": per_source[b],
+        })
+    return records
+
+
+def deblend_device_stream(images, variance, psfs, centers, model_psf,
+                          weights=None, center_active=None, *, box_size,
+                          n_slots, max_iter=100, check_every=25,
+                          min_snr=50, e_rel=1e-4, **kw):
+    """One-call production path: device init + device fit + records.
+
+    The entire stream batch runs as three compiled programs with no
+    per-blend host work.  Returns (records, state, losses, aux)."""
+    from .batch import fit_batch_device_converged
+
+    config, data, state, aux = stream_setup(
+        images, variance, psfs, centers, model_psf, weights=weights,
+        center_active=center_active, box_size=box_size, n_slots=n_slots,
+        min_snr=min_snr, e_rel=e_rel, **kw)
+    out, losses = fit_batch_device_converged(
+        state, data, config, max_iter, check_every=check_every)
+    return stream_records(out, losses, aux), out, losses, aux

@@ -1,0 +1,185 @@
+"""Device-side batched initialization (parallel.stream): the vmapped XLA
+init must reproduce the host initialization recipe
+(lite/initialization.py:321-419 semantics) and feed the same fit."""
+import numpy as np
+import pytest
+import jax
+
+from scarlet_tpu import lite, parallel
+from scarlet_tpu.parallel import stream
+
+
+@pytest.fixture(scope="module")
+def hsc():
+    d = np.load("/root/reference/data/hsc_cosmos_35.npz", allow_pickle=True)
+    images = d["images"].astype(np.float32)
+    variance = d["variance"].astype(np.float32)
+    return {
+        "images": images,
+        "variance": variance,
+        "weights": (1.0 / np.maximum(variance, 1e-12)).astype(np.float32),
+        "psfs": d["psfs"].astype(np.float32),
+        "centers": [(int(round(r["y"])), int(round(r["x"])))
+                    for r in d["catalog"]],
+        "model_psf": lite.integrated_circular_gaussian(
+            sigma=0.8)[None].astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def host_setup(hsc):
+    obs = lite.LiteObservation(hsc["images"], hsc["variance"],
+                               hsc["weights"], hsc["psfs"],
+                               model_psf=hsc["model_psf"])
+    srcs = lite.init_all_sources_main(obs, hsc["centers"], min_snr=50)
+    srcs = lite.parameterize_sources(srcs, obs, lite.init_adaprox_component)
+    blend = lite.LiteBlend(srcs, obs)
+    return blend, blend.engine_setup(e_rel=1e-4)
+
+
+@pytest.fixture(scope="module")
+def stream_setup_out(hsc, host_setup):
+    _, (cfg, _, _) = host_setup
+    S = cfg.box_shapes[0][0]
+    n_slots = cfg.bucket_counts[0]
+    return stream.stream_setup(
+        hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
+        np.asarray(hsc["centers"])[None], hsc["model_psf"],
+        box_size=S, n_slots=n_slots)
+
+
+class TestStreamInit:
+    def test_layout_matches_host(self, host_setup, stream_setup_out):
+        """Discrete init decisions (origins, logical boxes, slot order,
+        split gating) must equal the host path exactly."""
+        blend, (cfg, hdata, hstate) = host_setup
+        scfg, sdata, sstate, aux = stream_setup_out
+        assert scfg.box_shapes == cfg.box_shapes
+        assert scfg.bucket_counts == cfg.bucket_counts
+        assert scfg.fft_shape == cfg.fft_shape
+        assert scfg.bg_thresh == cfg.bg_thresh
+        assert not bool(np.asarray(aux["overflow"])[0])
+        np.testing.assert_array_equal(np.asarray(sstate.origins[0][0]),
+                                      np.asarray(hstate.origins[0]))
+        np.testing.assert_array_equal(np.asarray(sstate.comp_active[0][0]),
+                                      np.asarray(hstate.comp_active[0]))
+        np.testing.assert_array_equal(np.asarray(sdata.box_masks[0][0]),
+                                      np.asarray(hdata.box_masks[0]))
+        # kernel rFFTs: device match_psf == host match_psf bitwise
+        np.testing.assert_array_equal(np.asarray(sdata.kernel_rfft[0]),
+                                      np.asarray(hdata.kernel_rfft))
+
+    def test_seeds_match_host(self, host_setup, stream_setup_out):
+        _, (cfg, hdata, hstate) = host_setup
+        scfg, sdata, sstate, aux = stream_setup_out
+        hseds = np.asarray(hstate.seds[0])
+        sseds = np.asarray(sstate.seds[0][0])
+        np.testing.assert_allclose(sseds, hseds,
+                                   rtol=2e-2, atol=1e-3 * hseds.max())
+        hm = np.asarray(hstate.morphs[0])
+        sm = np.asarray(sstate.morphs[0][0])
+        np.testing.assert_allclose(sm, hm, atol=2e-2)
+
+    def test_fit_parity(self, host_setup, stream_setup_out):
+        """Fitting from the device init must reach the host-init result:
+        same logL (0.5%) and per-source fluxes (2%)."""
+        _, (cfg, hdata, hstate) = host_setup
+        scfg, sdata, sstate, aux = stream_setup_out
+        bdata, bstate = parallel.replicate_blend(hdata, hstate, 1)
+        hout, _ = parallel.fit_batch_device_converged(
+            bstate, bdata, cfg, 50, check_every=25)
+        sout, slosses = parallel.fit_batch_device_converged(
+            sstate, sdata, scfg, 50, check_every=25)
+        h_logL = float(hout.last_loss[0])
+        s_logL = float(sout.last_loss[0])
+        assert abs(s_logL - h_logL) < 5e-3 * abs(h_logL)
+
+        flux = np.asarray(stream._stream_records_device(sout, aux))[0]
+        hflux = (np.asarray(hout.seds[0][0])
+                 * np.asarray(hout.morphs[0][0]).sum(axis=(1, 2))[:, None])
+        slot_src = [0, 0, 1, 1, 2, 2, 3, 4, 5, 6]
+        hsrc = np.zeros((7, hflux.shape[1]), hflux.dtype)
+        for k, s in enumerate(slot_src):
+            hsrc[s] += hflux[k]
+        np.testing.assert_allclose(flux.sum(1), hsrc.sum(1), rtol=2e-2)
+
+    def test_records(self, stream_setup_out):
+        scfg, sdata, sstate, aux = stream_setup_out
+        out, losses = parallel.fit_batch_device_converged(
+            sstate, sdata, scfg, 10, check_every=10)
+        recs = stream.stream_records(out, losses, aux)
+        assert len(recs) == 1
+        assert recs[0]["n_components"] == 10
+        assert np.isfinite(recs[0]["logL"])
+        assert recs[0]["logL"] > recs[0]["init logL"]
+        assert recs[0]["flux"].shape == (7, 5)
+
+    def test_psf_fallback_and_center_mask(self, hsc):
+        """A center on blank sky falls back to the PSF morphology; masked
+        center rows produce inactive slots."""
+        rng = np.random.default_rng(3)
+        C, H, W = 5, 48, 48
+        variance = np.full((C, H, W), 1e-4, np.float32)
+        images = (rng.standard_normal((C, H, W)).astype(np.float32)
+                  * np.sqrt(variance))
+        # one bright PSF-like source at (24, 24)
+        psf = lite.integrated_circular_gaussian(sigma=1.1).astype(np.float32)
+        ph = psf.shape[0] // 2
+        images[:, 24 - ph:24 + ph + 1, 24 - ph:24 + ph + 1] += psf * 5.0
+        psfs = np.repeat(
+            lite.integrated_circular_gaussian(sigma=1.1)[None], C,
+            axis=0).astype(np.float32)
+        centers = np.asarray([[24, 24], [8, 40], [10, 10]])
+        active = np.asarray([True, True, False])
+        cfg, data, state, aux = stream.stream_setup(
+            images[None], variance[None], psfs[None], centers[None],
+            hsc["model_psf"], center_active=active[None],
+            box_size=21, n_slots=4)
+        fb = np.asarray(aux["psf_fallback"])[0]
+        assert not fb[0]            # real source seeds from detection
+        assert fb[1]                # blank sky -> PSF fallback
+        on = np.asarray(state.comp_active[0][0])
+        src = np.asarray(aux["slot_source"])[0]
+        assert set(src[on].tolist()) <= {0, 1}   # masked center 2 excluded
+        assert int(np.asarray(aux["n_active"])[0]) == int(on.sum())
+
+    def test_overflow_flag(self, hsc):
+        """More active components than slots sets the overflow flag."""
+        cfg, data, state, aux = stream.stream_setup(
+            hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
+            np.asarray(hsc["centers"])[None], hsc["model_psf"],
+            box_size=59, n_slots=4)
+        assert bool(np.asarray(aux["overflow"])[0])
+        assert int(np.asarray(state.comp_active[0][0]).sum()) == 4
+
+    def test_batch_of_distinct_blends(self, hsc):
+        """Distinct blends in one stream batch fit to finite, improving
+        losses; single-blend and batched runs agree."""
+        rng = np.random.default_rng(11)
+        ims, var = [], []
+        for i in range(3):
+            noise = (rng.standard_normal(hsc["images"].shape)
+                     .astype(np.float32) * np.sqrt(hsc["variance"]) * 0.3)
+            ims.append(hsc["images"] + noise)
+            var.append(hsc["variance"])
+        images = np.stack(ims)
+        variance = np.stack(var)
+        psfs = np.repeat(hsc["psfs"][None], 3, axis=0)
+        centers = np.repeat(np.asarray(hsc["centers"])[None], 3, axis=0)
+        recs, out, losses, aux = stream.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"],
+            box_size=59, n_slots=10, max_iter=20, check_every=20)
+        assert len(recs) == 3
+        for r in recs:
+            assert np.isfinite(r["logL"])
+            assert r["logL"] > r["init logL"]
+
+        # blend 0 alone == blend 0 in the batch
+        recs1, *_ = stream.deblend_device_stream(
+            images[:1], variance[:1], psfs[:1], centers[:1],
+            hsc["model_psf"], box_size=59, n_slots=10, max_iter=20,
+            check_every=20)
+        np.testing.assert_allclose(recs1[0]["logL"], recs[0]["logL"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(recs1[0]["flux"], recs[0]["flux"],
+                                   rtol=1e-3, atol=1e-3)
