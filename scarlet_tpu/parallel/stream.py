@@ -448,10 +448,54 @@ def _stream_records_device(state, aux):
     return per_source                        # (B, K, C)
 
 
-def stream_records(state, losses, aux):
+@partial(jax.jit, static_argnames=("config",))
+def _stream_weighted_flux(state, data, aux, config):
+    """Device flux reweighting (lite/measure.py weight_sources semantics):
+    redistribute the OBSERVED flux among sources by the ratio of each
+    source's convolved model to the total convolved model, capped at 1.
+
+    Per-band per-source totals, (B, K, C).  One scene render + K per-source
+    renders per blend — all batched."""
+    from .batch import _data_in_axes
+
+    K = aux["snr"].shape[1]
+
+    def one(state_b, data_b, slot_source):
+        total = engine.render(state_b, data_b, config)
+        total = jnp.maximum(total, 0.0)
+        imgs = data_b.images * (data_b.weights > 0)
+
+        def per_source(s):
+            on_s = state_b.comp_active[0] & (slot_source == s)
+            st = state_b._replace(comp_active=(on_s,))
+            conv_s = jnp.maximum(engine.render(st, data_b, config), 0.0)
+            ratio = jnp.where(total > 0, conv_s / jnp.where(total > 0, total,
+                                                            1.0), 0.0)
+            ratio = jnp.minimum(ratio, 1.0)
+            return jnp.sum(ratio * imgs, axis=(-2, -1))   # (C,)
+
+        return jax.lax.map(per_source, jnp.arange(K))     # (K, C)
+
+    return jax.vmap(
+        one, in_axes=(0, _data_in_axes(data), 0))(state, data,
+                                                  aux["slot_source"])
+
+
+def stream_records(state, losses, aux, data=None, config=None,
+                   reweight=False):
     """Per-blend measurement records from a fitted stream batch (host dicts;
-    the reductions run on device)."""
-    per_source = np.asarray(_stream_records_device(state, aux))
+    the reductions run on device).
+
+    With ``reweight=True`` (requires ``data`` and ``config``), per-source
+    fluxes use the observed-flux redistribution of
+    ``lite.measure.weight_sources`` instead of raw model sums."""
+    if reweight:
+        if data is None or config is None:
+            raise ValueError("reweight=True needs data and config")
+        per_source = np.asarray(_stream_weighted_flux(state, data, aux,
+                                                      config))
+    else:
+        per_source = np.asarray(_stream_records_device(state, aux))
     its = np.asarray(state.it)
     last = np.asarray(state.last_loss)
     n_act = np.asarray(aux["n_active"])
@@ -471,11 +515,13 @@ def stream_records(state, losses, aux):
 def deblend_device_stream(images, variance, psfs, centers, model_psf,
                           weights=None, center_active=None, *, box_size,
                           n_slots, max_iter=100, check_every=25,
-                          min_snr=50, e_rel=1e-4, **kw):
+                          min_snr=50, e_rel=1e-4, reweight=False, **kw):
     """One-call production path: device init + device fit + records.
 
     The entire stream batch runs as three compiled programs with no
-    per-blend host work.  Returns (records, state, losses, aux)."""
+    per-blend host work.  ``reweight=True`` reports observed-flux
+    redistribution (weight_sources) instead of raw model fluxes.
+    Returns (records, state, losses, aux)."""
     from .batch import fit_batch_device_converged
 
     config, data, state, aux = stream_setup(
@@ -484,4 +530,6 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
         min_snr=min_snr, e_rel=e_rel, **kw)
     out, losses = fit_batch_device_converged(
         state, data, config, max_iter, check_every=check_every)
-    return stream_records(out, losses, aux), out, losses, aux
+    records = stream_records(out, losses, aux, data=data, config=config,
+                             reweight=reweight)
+    return records, out, losses, aux

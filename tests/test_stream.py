@@ -114,6 +114,25 @@ class TestStreamInit:
         assert recs[0]["logL"] > recs[0]["init logL"]
         assert recs[0]["flux"].shape == (7, 5)
 
+    def test_weighted_flux_matches_host(self, hsc, host_setup,
+                                        stream_setup_out):
+        """Device flux reweighting == lite.measure.weight_sources."""
+        blend, (cfg, hdata, hstate) = host_setup
+        scfg, sdata, sstate, aux = stream_setup_out
+        bdata, bstate = parallel.replicate_blend(hdata, hstate, 1)
+        hout, hlosses = parallel.fit_batch_device_converged(
+            bstate, bdata, cfg, 50, check_every=25)
+        parallel.unpack_blends([blend], hout, hlosses, reweight=True)
+        hflux = np.stack([np.asarray(s.flux).sum(axis=(-2, -1))
+                          for s in blend.sources])
+
+        sout, slosses = parallel.fit_batch_device_converged(
+            sstate, sdata, scfg, 50, check_every=25)
+        recs = stream.stream_records(sout, slosses, aux, data=sdata,
+                                     config=scfg, reweight=True)
+        np.testing.assert_allclose(recs[0]["flux"], hflux,
+                                   rtol=2e-2, atol=1e-2 * hflux.max())
+
     def test_psf_fallback_and_center_mask(self, hsc):
         """A center on blank sky falls back to the PSF morphology; masked
         center rows produce inactive slots."""
@@ -151,6 +170,36 @@ class TestStreamInit:
             box_size=59, n_slots=4)
         assert bool(np.asarray(aux["overflow"])[0])
         assert int(np.asarray(state.comp_active[0][0]).sum()) == 4
+
+    def test_stream_sharded_over_mesh(self, hsc):
+        """Blends-axis GSPMD sharding propagates through the device init
+        AND the fit: 8 blends sharded over the virtual 8-device mesh match
+        the unsharded run."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rng = np.random.default_rng(0)
+        B = 8
+        ims = np.stack([
+            hsc["images"] + rng.standard_normal(hsc["images"].shape)
+            .astype(np.float32) * np.sqrt(hsc["variance"]) * 0.3
+            for _ in range(B)])
+        var = np.repeat(hsc["variance"][None], B, 0)
+        ps = np.repeat(hsc["psfs"][None], B, 0)
+        cs = np.repeat(np.asarray(hsc["centers"])[None], B, 0)
+
+        mesh = parallel.make_mesh(8)
+        sh = NamedSharding(mesh, P("blends"))
+        args_s = [jax.device_put(x, sh) for x in (ims, var, ps, cs)]
+        cfgS, dataS, stateS, auxS = stream.stream_setup(
+            *args_s, hsc["model_psf"], box_size=59, n_slots=10)
+        assert "blends" in str(stateS.morphs[0].sharding)
+        outS, lS = parallel.fit_batch(stateS, dataS, cfgS, 10)
+
+        cfgU, dataU, stateU, auxU = stream.stream_setup(
+            ims, var, ps, cs, hsc["model_psf"], box_size=59, n_slots=10)
+        outU, lU = parallel.fit_batch(stateU, dataU, cfgU, 10)
+        np.testing.assert_allclose(np.asarray(lS), np.asarray(lU),
+                                   rtol=1e-5)
 
     def test_batch_of_distinct_blends(self, hsc):
         """Distinct blends in one stream batch fit to finite, improving
