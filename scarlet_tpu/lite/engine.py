@@ -92,6 +92,9 @@ class LiteFitConfig:
     neighbor_weight: str = "angle"
     use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
     use_pallas_scene: bool = False  # VMEM scene assembly + grad gather (TPU)
+    conv_mode: str = "fft"        # "fft" (XLA FFT) | "dft" (folded matmul-
+    # DFT on the MXU — ~1.5x faster on TPU at the fit's small centered
+    # shapes, exact to f32 roundoff; see ops/fft.dft_conv_matrices)
     pallas_interpret: bool = False
     scene_pad: int = -1           # -1: one full (largest) box — always safe
     # band-axis model parallelism (shard_map): inside a shard_map over a
@@ -329,6 +332,10 @@ def _join_complex(k):
 def _convolve(scene, kernel_rfft, config):
     if kernel_rfft is None:
         return scene
+    if config.conv_mode == "dft":
+        mats = fft_ops.dft_conv_matrices(
+            scene.shape[-2:], config.fft_shape, scene.dtype)
+        return fft_ops.convolve_dft(scene, _join_complex(kernel_rfft), mats)
     return fft_ops.convolve_fft(scene, _join_complex(kernel_rfft),
                                 config.fft_shape, (-2, -1))
 

@@ -673,6 +673,9 @@ class LiteBlend:
             # (a jax.default_device(cpu) context overrides the backend)
             use_pallas=platform != "cpu",
             use_pallas_scene=platform != "cpu",
+            # matmul-DFT convolution rides the MXU on accelerators; the
+            # XLA FFT wins on CPU (pocketfft)
+            conv_mode="dft" if platform != "cpu" else "fft",
             scene_pad=scene_pad,
             optimizer="fista" if use_fista else "adaprox",
         )

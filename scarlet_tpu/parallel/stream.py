@@ -404,6 +404,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         fit_center_radius=1,
         use_pallas=platform != "cpu",
         use_pallas_scene=platform != "cpu",
+        conv_mode="dft" if platform != "cpu" else "fft",
         scene_pad=S // 2 + 2,
     )
 

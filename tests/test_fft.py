@@ -142,3 +142,33 @@ class TestMinimalSameFFTShape:
         # the engine's HSC case: (100, 90) full -> (80, 72) same-crop
         assert fft.minimal_same_fft_shape((5, 58, 48), (5, 43, 43),
                                           axes=(1, 2)) == (80, 72)
+
+
+class TestDftConv:
+    def test_matches_fft_path(self):
+        """convolve_dft (folded matmul-DFT) == convolve_fft across odd/even
+        image, kernel, and fft-shape combinations (f64 exactness)."""
+        rng = np.random.default_rng(7)
+        for S in ((58, 48), (57, 47), (30, 31), (21, 20)):
+            for F in (fft.minimal_same_fft_shape(S, (15, 15), axes=(0, 1)),
+                      fft.good_fft_shape(S, (15, 15), axes=(0, 1))):
+                img = rng.standard_normal(S)
+                ker = rng.standard_normal((15, 15))
+                kf = fft.transform(np.asarray(ker), F, (0, 1))
+                ref = np.asarray(fft.convolve_fft(np.asarray(img), kf, F,
+                                                  (0, 1)))
+                mats = fft.dft_conv_matrices(S, F, np.float64)
+                out = np.asarray(fft.convolve_dft(np.asarray(img), kf, mats))
+                np.testing.assert_allclose(out, ref, atol=1e-10,
+                                           err_msg=f"S={S} F={F}")
+
+    def test_batched_and_f32(self):
+        rng = np.random.default_rng(8)
+        S, F = (58, 48), (80, 72)
+        img = rng.standard_normal((3, 5) + S).astype(np.float32)
+        ker = rng.standard_normal((5, 15, 15)).astype(np.float32)
+        kf = fft.transform(np.asarray(ker), F, (-2, -1))
+        ref = np.asarray(fft.convolve_fft(np.asarray(img), kf, F, (-2, -1)))
+        mats = fft.dft_conv_matrices(S, F, np.float32)
+        out = np.asarray(fft.convolve_dft(np.asarray(img), kf, mats))
+        np.testing.assert_allclose(out, ref, atol=2e-5 * np.abs(ref).max())

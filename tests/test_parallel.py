@@ -205,3 +205,17 @@ class TestDeviceConverged:
         ref_state, ref_losses = parallel.fit_batch(bstate, bdata, config, 13)
         np.testing.assert_allclose(np.asarray(losses),
                                    np.asarray(ref_losses), rtol=1e-5)
+
+
+class TestDftConvEngine:
+    def test_dft_conv_mode_matches_fft(self, sim_blend):
+        """The fit under conv_mode='dft' (folded matmul-DFT) tracks the FFT
+        path: same loss trajectory to f32-roundoff accumulation."""
+        import dataclasses
+
+        config, data, state = sim_blend.engine_setup(e_rel=1e-6)
+        dft_config = dataclasses.replace(config, conv_mode="dft")
+        _, l_fft = engine.fit_scan(state, data, config, 15)
+        _, l_dft = engine.fit_scan(state, data, dft_config, 15)
+        np.testing.assert_allclose(np.asarray(l_dft), np.asarray(l_fft),
+                                   rtol=1e-4)
