@@ -39,6 +39,8 @@ __all__ = [
     "fit_batch",
     "fit_batch_converged",
     "fit_batch_device_converged",
+    "fit_batch_device_dispatch",
+    "fit_batch_device_collect",
     "make_mesh",
     "shard_batch",
 ]
@@ -278,6 +280,28 @@ _fit_batch_while_jit = partial(
 )(_fit_batch_while)
 
 
+def fit_batch_device_dispatch(state, data, config, max_iter,
+                              check_every=10):
+    """Asynchronously dispatch the single-program device-converged fit.
+
+    Returns an opaque handle of device futures — the call does NOT block,
+    so transfers/init of the next batch overlap this batch's fit (the
+    chunked-stream pipeline).  Resolve with :func:`fit_batch_device_collect`.
+    """
+    state = jax.tree.map(
+        lambda x: None if x is None else jnp.copy(x), state,
+        is_leaf=lambda x: x is None)
+    return _fit_batch_while_jit(state, data, config, max_iter, check_every)
+
+
+def fit_batch_device_collect(handle, max_iter):
+    """Block on a :func:`fit_batch_device_dispatch` handle; returns
+    (final_state, losses (<=max_iter, B))."""
+    out, losses, n_run = handle
+    n = min(int(n_run), max_iter)
+    return out, losses[:n]
+
+
 def fit_batch_device_converged(state, data, config, max_iter,
                                check_every=10):
     """Fit until every blend converges (or ``max_iter``), with the
@@ -288,13 +312,9 @@ def fit_batch_device_converged(state, data, config, max_iter,
     :func:`fit_batch_converged`; rows past the executed count repeat the
     frozen losses (truncated here to the executed segments).
     """
-    state = jax.tree.map(
-        lambda x: None if x is None else jnp.copy(x), state,
-        is_leaf=lambda x: x is None)
-    out, losses, n_run = _fit_batch_while_jit(state, data, config, max_iter,
-                                              check_every)
-    n = min(int(n_run), max_iter)
-    return out, losses[:n]
+    return fit_batch_device_collect(
+        fit_batch_device_dispatch(state, data, config, max_iter,
+                                  check_every), max_iter)
 
 
 def fit_batch_converged(state, data, config, max_iter, segment=10):

@@ -516,21 +516,52 @@ def stream_records(state, losses, aux, data=None, config=None,
 def deblend_device_stream(images, variance, psfs, centers, model_psf,
                           weights=None, center_active=None, *, box_size,
                           n_slots, max_iter=100, check_every=25,
-                          min_snr=50, e_rel=1e-4, reweight=False, **kw):
+                          min_snr=50, e_rel=1e-4, reweight=False,
+                          chunk=None, **kw):
     """One-call production path: device init + device fit + records.
 
     The entire stream batch runs as three compiled programs with no
     per-blend host work.  ``reweight=True`` reports observed-flux
     redistribution (weight_sources) instead of raw model fluxes.
-    Returns (records, state, losses, aux)."""
-    from .batch import fit_batch_device_converged
 
-    config, data, state, aux = stream_setup(
-        images, variance, psfs, centers, model_psf, weights=weights,
-        center_active=center_active, box_size=box_size, n_slots=n_slots,
-        min_snr=min_snr, e_rel=e_rel, **kw)
-    out, losses = fit_batch_device_converged(
-        state, data, config, max_iter, check_every=check_every)
-    records = stream_records(out, losses, aux, data=data, config=config,
-                             reweight=reweight)
-    return records, out, losses, aux
+    ``chunk`` splits the stream into sub-batches whose fits are dispatched
+    asynchronously before any result is collected, so the host->device
+    transfer + init of chunk ``i+1`` overlaps the fit of chunk ``i`` —
+    this hides the pixel-upload latency of a long stream behind compute.
+
+    Returns (records, state, losses, aux); with ``chunk`` set, state/
+    losses/aux are per-chunk lists."""
+    from .batch import (fit_batch_device_dispatch,
+                        fit_batch_device_collect)
+
+    B = images.shape[0]
+    if chunk is None or chunk >= B:
+        spans = [slice(0, B)]
+    else:
+        spans = [slice(i, min(i + chunk, B)) for i in range(0, B, chunk)]
+
+    def sub(x, sl):
+        return None if x is None else x[sl]
+
+    handles = []
+    for sl in spans:
+        config, data, state, aux = stream_setup(
+            sub(images, sl), sub(variance, sl), sub(psfs, sl),
+            sub(centers, sl), model_psf, weights=sub(weights, sl),
+            center_active=sub(center_active, sl), box_size=box_size,
+            n_slots=n_slots, min_snr=min_snr, e_rel=e_rel, **kw)
+        handle = fit_batch_device_dispatch(
+            state, data, config, max_iter, check_every=check_every)
+        handles.append((handle, data, config, aux))
+
+    records, outs, losses_l, auxs = [], [], [], []
+    for handle, data, config, aux in handles:
+        out, losses = fit_batch_device_collect(handle, max_iter)
+        records.extend(stream_records(out, losses, aux, data=data,
+                                      config=config, reweight=reweight))
+        outs.append(out)
+        losses_l.append(losses)
+        auxs.append(aux)
+    if len(spans) == 1:
+        return records, outs[0], losses_l[0], auxs[0]
+    return records, outs, losses_l, auxs

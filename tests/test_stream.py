@@ -232,3 +232,29 @@ class TestStreamInit:
                                    rtol=1e-4)
         np.testing.assert_allclose(recs1[0]["flux"], recs[0]["flux"],
                                    rtol=1e-3, atol=1e-3)
+
+    def test_chunked_stream_matches_unchunked(self, hsc):
+        """chunk= pipelined dispatch returns the same records as one
+        batch."""
+        rng = np.random.default_rng(21)
+        ims, var = [], []
+        for i in range(4):
+            noise = (rng.standard_normal(hsc["images"].shape)
+                     .astype(np.float32) * np.sqrt(hsc["variance"]) * 0.3)
+            ims.append(hsc["images"] + noise)
+            var.append(hsc["variance"])
+        images = np.stack(ims)
+        variance = np.stack(var)
+        psfs = np.repeat(hsc["psfs"][None], 4, axis=0)
+        centers = np.repeat(np.asarray(hsc["centers"])[None], 4, axis=0)
+        r1, *_ = stream.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"],
+            box_size=59, n_slots=10, max_iter=15, check_every=15)
+        r2, *_ = stream.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"],
+            box_size=59, n_slots=10, max_iter=15, check_every=15, chunk=2)
+        assert len(r2) == 4
+        for a, b in zip(r1, r2):
+            np.testing.assert_allclose(a["logL"], b["logL"], rtol=1e-5)
+            np.testing.assert_allclose(a["flux"], b["flux"], rtol=1e-4,
+                                       atol=1e-4)
