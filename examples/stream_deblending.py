@@ -1,0 +1,61 @@
+"""Production stream deblending: raw pixel stacks -> measured fluxes,
+entirely on the accelerator.
+
+`parallel.deblend_device_stream` runs the whole catalog-scale pipeline —
+batched on-device initialization (detection coadds, monotonic seeds,
+SNR-gated bulge/disk splits with joint least-squares SEDs, PSF
+fallbacks), the batched converged fit, and per-source flux measurement —
+as a handful of compiled programs with zero per-blend host work.  The
+`chunk=` option pipelines each chunk's pixel upload + init behind the
+previous chunk's fit.
+
+Run:  python examples/stream_deblending.py
+"""
+import os
+import time
+
+import numpy as np
+
+from scarlet_tpu import lite, parallel
+
+FAST = os.environ.get("SCARLET_TPU_FAST") == "1"
+N = 8 if FAST else 64
+MAX_ITER = 15 if FAST else 100
+
+# ---- build a stream of distinct blends from the bundled real HSC data ----
+data = np.load("/root/reference/data/hsc_cosmos_35.npz", allow_pickle=True)
+images = data["images"].astype(np.float32)
+variance = data["variance"].astype(np.float32)
+psfs = data["psfs"].astype(np.float32)
+centers = np.asarray([(int(round(r["y"])), int(round(r["x"])))
+                      for r in data["catalog"]])
+
+rng = np.random.default_rng(0)
+stack_images = np.stack([
+    images + rng.standard_normal(images.shape).astype(np.float32)
+    * np.sqrt(variance) * 0.3
+    for _ in range(N)])
+stack_var = np.repeat(variance[None], N, axis=0)
+stack_psfs = np.repeat(psfs[None], N, axis=0)
+stack_centers = np.repeat(centers[None], N, axis=0)
+model_psf = lite.integrated_circular_gaussian(sigma=0.8)[None].astype(
+    np.float32)
+
+# ---- deblend the whole stream on the device ----
+t0 = time.perf_counter()
+records, state, losses, aux = parallel.deblend_device_stream(
+    stack_images, stack_var, stack_psfs, stack_centers, model_psf,
+    box_size=59, n_slots=10, max_iter=MAX_ITER, check_every=MAX_ITER,
+    reweight=not FAST, chunk=None if N <= 16 else N // 2)
+dt = time.perf_counter() - t0
+
+print(f"deblended {N} blends in {dt:.2f}s ({N / dt * 60:.0f} blends/min, "
+      "incl. compile on first run)")
+r = records[0]
+print(f"blend 0: {r['n_components']} components, {r['iterations']} its, "
+      f"logL {r['logL']:.1f}")
+print("per-source flux (summed over bands):",
+      np.round(np.asarray(r["flux"]).sum(axis=1), 1))
+assert all(np.isfinite(rec["logL"]) for rec in records)
+assert all(rec["logL"] > rec["init logL"] for rec in records)
+print("OK")
