@@ -134,6 +134,10 @@ class BlendData(NamedTuple):
     box_masks: Optional[tuple] = None   # per bucket: (Kb, hb, wb) float —
     # 1 inside each component's logical box; confines morphologies to their
     # reference box when the physical bucket is larger
+    scene_mask: Optional[jnp.ndarray] = None  # (H, W) float — 1 on real
+    # scene pixels.  For blends zero-padded to a larger shared layout this
+    # clips model flux at the TRUE scene edge before convolution (matching
+    # each blend's natural-layout fit exactly); None = whole scene real
 
 
 class BlendState(NamedTuple):
@@ -342,7 +346,10 @@ def _convolve(scene, kernel_rfft, config):
 
 def render(state, data, config):
     """Scene model convolved to the observed PSF."""
-    return _convolve(make_scene(state, config), data.kernel_rfft, config)
+    scene = make_scene(state, config)
+    if data.scene_mask is not None:
+        scene = scene * data.scene_mask
+    return _convolve(scene, data.kernel_rfft, config)
 
 
 # ---------------------------------------------------------------------------
@@ -433,12 +440,17 @@ def fit_step(state, data, config):
     P = config.pad
 
     scene = make_scene(state, config)
+    if data.scene_mask is not None:
+        # model flux clips at the TRUE scene edge (zero-padded layouts)
+        scene = scene * data.scene_mask
     model = _convolve(scene, data.kernel_rfft, config)
     residual = data.weights * (model - data.images)
     logL = _band_sum(-0.5 * jnp.sum(residual * (model - data.images)),
                      config)
 
     grad_scene = _convolve(residual, data.grad_kernel_rfft, config)
+    if data.scene_mask is not None:
+        grad_scene = grad_scene * data.scene_mask
     gpad = jnp.pad(grad_scene, ((0, 0), (P, P), (P, P)))
 
     zero = jnp.asarray(0, jnp.int32)

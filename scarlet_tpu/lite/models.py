@@ -495,6 +495,7 @@ class LiteBlend:
         C, H, W = obs.shape
         images = np.asarray(obs.images)
         weights = np.asarray(obs.weights)
+        scene_mask = None
         if scene_shape is not None:
             if scene_shape[0] != C or scene_shape[1] < H or \
                     scene_shape[2] < W:
@@ -503,6 +504,11 @@ class LiteBlend:
             pad = ((0, 0), (0, scene_shape[1] - H), (0, scene_shape[2] - W))
             images = np.pad(images, pad)
             weights = np.pad(weights, pad)
+            # clip model flux at the TRUE scene edge so the shared-layout
+            # fit equals this blend's natural-layout fit exactly (always
+            # set when a shared layout is requested, so batches stack)
+            scene_mask = np.zeros(scene_shape[1:], dtype=images.dtype)
+            scene_mask[:H, :W] = 1.0
             _, H, W = scene_shape
         dtype = images.dtype
 
@@ -684,6 +690,8 @@ class LiteBlend:
             images, weights, diff_kernel, obs.noise_rms, config)
         data = data._replace(
             box_masks=tuple(jnp.asarray(m) for m in box_masks))
+        if scene_mask is not None:
+            data = data._replace(scene_mask=jnp.asarray(scene_mask))
         if use_fista:
             data = data._replace(
                 fista_step=tuple(jnp.asarray(f) for f in fista_steps))

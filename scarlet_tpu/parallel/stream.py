@@ -105,9 +105,9 @@ def _quantized_boxsize(size, cap, min_size=21, increment=10):
 
 
 def _init_one_blend(images, variance, weights, psfs, centers, center_on,
-                    model_psf, mono_w8, mono_keep, *, S, n_slots, fft_shape,
-                    match_shape, psf_fft_shape, mono_iter, min_snr, thresh,
-                    percentile):
+                    model_psf, scene_valid, mono_w8, mono_keep, *, S,
+                    n_slots, fft_shape, match_shape, psf_fft_shape,
+                    mono_iter, min_snr, thresh, percentile):
     """Initialize ONE blend (vmapped over the batch by stream_setup).
 
     Returns per-blend (data_leaves, state_leaves, aux) with slot-packed
@@ -119,8 +119,13 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
     tiny = jnp.asarray(1e-20, dtype)
 
     # --- observation-level quantities -------------------------------------
-    noise_rms = jnp.mean(jnp.sqrt(variance), axis=(1, 2))          # (C,)
-    detect = jnp.sum(images / (noise_rms ** 2)[:, None, None], 0)  # (H,W)
+    # scene_valid masks caller padding (heterogeneous crops packed to one
+    # (H, W)); all-ones reproduces the host path bitwise
+    n_valid = jnp.maximum(jnp.sum(scene_valid), 1.0)
+    noise_rms = jnp.sum(jnp.sqrt(variance) * scene_valid,
+                        axis=(1, 2)) / n_valid                     # (C,)
+    detect = (jnp.sum(images / (noise_rms ** 2)[:, None, None], 0)
+              * scene_valid)                                       # (H,W)
 
     # difference kernel (fft.match_psf semantics: k-space ratio at the
     # PSF-matching shape, kernel image at the PSF shape) and its rFFTs at
@@ -158,7 +163,7 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
 
     # --- padded views for dynamic box extraction --------------------------
     dpad = jnp.pad(detect, hS)
-    vpad = jnp.pad(jnp.ones((H, W), dtype), hS)
+    vpad = jnp.pad(scene_valid, hS)
     ipad = jnp.pad(images, ((0, 0), (hS, hS), (hS, hS)))
     # PSF-shaped cutouts for the SNR measure
     ph, pw = psfs.shape[-2:]
@@ -314,24 +319,26 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
     "S", "n_slots", "fft_shape", "match_shape", "psf_fft_shape",
     "mono_iter", "min_snr", "thresh", "percentile"))
 def _stream_init_batch(images, variance, weights, psfs, centers, center_on,
-                       model_psf, mono_w8, mono_keep, *, S, n_slots,
-                       fft_shape, match_shape, psf_fft_shape, mono_iter,
-                       min_snr, thresh, percentile):
+                       model_psf, scene_valid, mono_w8, mono_keep, *, S,
+                       n_slots, fft_shape, match_shape, psf_fft_shape,
+                       mono_iter, min_snr, thresh, percentile):
     one = partial(
         _init_one_blend, S=S, n_slots=n_slots, fft_shape=fft_shape,
         match_shape=match_shape, psf_fft_shape=psf_fft_shape,
         mono_iter=mono_iter, min_snr=min_snr, thresh=thresh,
         percentile=percentile)
     return jax.vmap(
-        lambda im, va, we, ps, ce, on: one(im, va, we, ps, ce, on,
-                                           model_psf, mono_w8, mono_keep)
-    )(images, variance, weights, psfs, centers, center_on)
+        lambda im, va, we, ps, ce, on, sv: one(im, va, we, ps, ce, on,
+                                               model_psf, sv, mono_w8,
+                                               mono_keep)
+    )(images, variance, weights, psfs, centers, center_on, scene_valid)
 
 
 def stream_setup(images, variance, psfs, centers, model_psf,
-                 weights=None, center_active=None, *, box_size, n_slots,
-                 min_snr=50, thresh=0.5, percentile=25, bg_thresh=None,
-                 e_rel=1e-4, min_iter=1, fft_shape=None, platform=None):
+                 weights=None, center_active=None, scene_valid=None, *,
+                 box_size, n_slots, min_snr=50, thresh=0.5, percentile=25,
+                 bg_thresh=None, e_rel=1e-4, min_iter=1, fft_shape=None,
+                 platform=None):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -343,6 +350,11 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     model_psf : (1, mh, mw) target (model-frame) PSF.
     weights : optional (B, C, H, W); default 1/max(variance, 1e-12).
     center_active : optional (B, K) bool; default all on.
+    scene_valid : optional (B, H, W) mask of real pixels, for streams of
+        heterogeneous crops zero-padded to one (H, W): pad images/variance
+        with 0, weights with 0, and mark padding 0 here so the detection
+        coadd, noise RMS, and symmetrization see only real pixels.
+        Default all-ones (homogeneous stream).
     box_size : physical component box S (odd).  Static.
     n_slots : component slots per blend (>= max expected components; a
         blend needing more sets ``aux["overflow"]``).  Static.
@@ -369,6 +381,11 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     else:
         center_active = jnp.asarray(center_active, bool)
     model_psf = jnp.asarray(model_psf)
+    has_valid = scene_valid is not None
+    if scene_valid is None:
+        scene_valid = jnp.ones((B, H, W), images.dtype)
+    else:
+        scene_valid = jnp.asarray(scene_valid).astype(images.dtype)
 
     if fft_shape is None:
         fft_shape = fft_ops.minimal_same_fft_shape(
@@ -383,7 +400,8 @@ def stream_setup(images, variance, psfs, centers, model_psf,
 
     data_l, state_l, aux = _stream_init_batch(
         images, variance, weights, psfs, centers, center_active, model_psf,
-        jnp.asarray(w8), jnp.asarray(keep_c), S=S, n_slots=int(n_slots),
+        scene_valid, jnp.asarray(w8), jnp.asarray(keep_c), S=S,
+        n_slots=int(n_slots),
         fft_shape=tuple(fft_shape), match_shape=match_shape,
         psf_fft_shape=psf_fft_shape, mono_iter=depth, min_snr=float(min_snr),
         thresh=float(thresh), percentile=float(percentile))
@@ -418,6 +436,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         mono_weights=(jnp.asarray(mono_w.astype(dtype)),),
         mono_keep=(jnp.asarray(mono_keep.astype(dtype)),),
         box_masks=(data_l["box_masks"],),
+        scene_mask=scene_valid if has_valid else None,
     )
     zero_sed = jnp.zeros_like(state_l["seds"])
     zero_mor = jnp.zeros_like(state_l["morphs"])
@@ -514,7 +533,8 @@ def stream_records(state, losses, aux, data=None, config=None,
 
 
 def deblend_device_stream(images, variance, psfs, centers, model_psf,
-                          weights=None, center_active=None, *, box_size,
+                          weights=None, center_active=None,
+                          scene_valid=None, *, box_size,
                           n_slots, max_iter=100, check_every=25,
                           min_snr=50, e_rel=1e-4, reweight=False,
                           chunk=None, **kw):
@@ -548,7 +568,8 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
         config, data, state, aux = stream_setup(
             sub(images, sl), sub(variance, sl), sub(psfs, sl),
             sub(centers, sl), model_psf, weights=sub(weights, sl),
-            center_active=sub(center_active, sl), box_size=box_size,
+            center_active=sub(center_active, sl),
+            scene_valid=sub(scene_valid, sl), box_size=box_size,
             n_slots=n_slots, min_snr=min_snr, e_rel=e_rel, **kw)
         handle = fit_batch_device_dispatch(
             state, data, config, max_iter, check_every=check_every)

@@ -258,3 +258,58 @@ class TestStreamInit:
             np.testing.assert_allclose(a["logL"], b["logL"], rtol=1e-5)
             np.testing.assert_allclose(a["flux"], b["flux"], rtol=1e-4,
                                        atol=1e-4)
+
+    def test_heterogeneous_crops_via_scene_valid(self, hsc):
+        """Different-sized crops zero-padded to one (H, W) with a
+        scene_valid mask reproduce each crop's own host-path fit:
+        weights=0 padding never enters the likelihood, and the mask keeps
+        detection/noise statistics on real pixels only."""
+        H, W = hsc["images"].shape[1:]
+        crops = [(H, W), (H, W - 8), (H - 8, W)]
+        B = len(crops)
+        images = np.zeros((B,) + hsc["images"].shape, np.float32)
+        variance = np.zeros_like(images)
+        weights = np.zeros_like(images)
+        valid = np.zeros((B, H, W), np.float32)
+        centers, cmask = [], []
+        for b, (h, w) in enumerate(crops):
+            images[b, :, :h, :w] = hsc["images"][:, :h, :w]
+            variance[b, :, :h, :w] = hsc["variance"][:, :h, :w]
+            weights[b, :, :h, :w] = hsc["weights"][:, :h, :w]
+            valid[b, :h, :w] = 1.0
+            cs = [(cy, cx) for cy, cx in hsc["centers"]
+                  if cy < h - 3 and cx < w - 3]
+            centers.append(cs)
+            cmask.append(len(cs))
+        K = max(len(c) for c in centers)
+        carr = np.zeros((B, K, 2), np.int32)
+        cact = np.zeros((B, K), bool)
+        for b, cs in enumerate(centers):
+            carr[b, :len(cs)] = cs
+            cact[b, :len(cs)] = True
+
+        psfs = np.repeat(hsc["psfs"][None], B, axis=0)
+        recs, out, losses, aux = stream.deblend_device_stream(
+            images, variance, psfs, carr, hsc["model_psf"],
+            weights=weights, center_active=cact, scene_valid=valid,
+            box_size=59, n_slots=10, max_iter=25, check_every=25)
+
+        # each padded blend must match its own-crop host-path fit
+        for b, (h, w) in enumerate(crops):
+            obs = lite.LiteObservation(
+                hsc["images"][:, :h, :w], hsc["variance"][:, :h, :w],
+                hsc["weights"][:, :h, :w], hsc["psfs"],
+                model_psf=hsc["model_psf"])
+            srcs = lite.init_all_sources_main(obs, centers[b], min_snr=50)
+            srcs = lite.parameterize_sources(srcs, obs,
+                                             lite.init_adaprox_component)
+            bl = lite.LiteBlend(srcs, obs)
+            cfg, hdata, hstate = bl.engine_setup(e_rel=1e-4, box_size=59,
+                                                 n_slots=10)
+            bdata, bstate = parallel.replicate_blend(hdata, hstate, 1)
+            hout, _ = parallel.fit_batch_device_converged(
+                bstate, bdata, cfg, 25, check_every=25)
+            h_logL = float(hout.last_loss[0])
+            np.testing.assert_allclose(recs[b]["logL"], h_logL,
+                                       rtol=5e-3,
+                                       err_msg=f"crop {crops[b]}")
