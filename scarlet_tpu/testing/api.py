@@ -15,10 +15,12 @@ import time
 import numpy as np
 
 from .deblend import deblend
-from .measure import measure_sources, measure_lite_sources
+from .measure import (measure_sources, measure_lite_sources,
+                      measure_flux_records)
 from .store import save_records, save_residuals
 
-__all__ = ["bundled_blends", "deblend_and_measure", "deblend_lite_batch"]
+__all__ = ["bundled_blends", "deblend_and_measure",
+           "deblend_lite_batch", "deblend_stream_batch"]
 
 _DATA_DIR = pathlib.Path("/root/reference/data")
 
@@ -117,6 +119,79 @@ def deblend_lite_batch(datas, max_iter=None, e_rel=None):
     return blends, records
 
 
+def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
+                         reweight=True):
+    """Deblend a whole set through the DEVICE stream path
+    (parallel.stream): batched on-device init + fit + flux measurement,
+    zero per-blend host work.
+
+    All blends in the set must share one (C, H, W) (the generated sets
+    do); heterogeneous source counts pad through ``center_active``.
+    Returns (records, flux) with flux[i] the (K_i, C) per-source fluxes.
+    """
+    from . import settings
+    from .. import lite, parallel
+
+    if max_iter is None:
+        max_iter = settings.max_iter
+    if e_rel is None:
+        e_rel = settings.e_rel
+
+    images, variances, centers_l = [], [], []
+    psfs = []
+    for data in datas:
+        im = np.asarray(data["images"]).astype(np.float32)
+        if "variance" in data:
+            var = np.asarray(data["variance"]).astype(np.float32)
+        else:
+            sigma = np.array([
+                1.4826 * np.median(np.abs(b - np.median(b))) for b in im])
+            var = np.ones_like(im) * (sigma ** 2)[:, None, None]
+        images.append(im)
+        variances.append(var)
+        psfs.append(np.asarray(data["psfs"]).astype(np.float32))
+        centers_l.append([(int(np.round(r["y"])), int(np.round(r["x"])))
+                          for r in data["catalog"]])
+    shapes = {im.shape for im in images}
+    if len(shapes) > 1:
+        raise ValueError(f"stream sets need one shape, got {shapes}")
+    B = len(images)
+    K = max(len(c) for c in centers_l)
+    carr = np.zeros((B, K, 2), np.int32)
+    cact = np.zeros((B, K), bool)
+    for b, cs in enumerate(centers_l):
+        carr[b, :len(cs)] = cs
+        cact[b, :len(cs)] = True
+    C, H, W = images[0].shape
+    cap = max(H, W) + 1
+    box = cap if cap % 2 == 1 else cap - 1
+    model_psf = lite.integrated_circular_gaussian(sigma=0.8)[None].astype(
+        np.float32)
+
+    t0 = time.perf_counter()
+    records_raw, _, _, _ = parallel.deblend_device_stream(
+        np.stack(images), np.stack(variances), np.stack(psfs), carr,
+        model_psf, center_active=cact, box_size=box, n_slots=2 * K,
+        max_iter=max_iter, e_rel=e_rel, min_snr=min_snr, reweight=reweight)
+    total = time.perf_counter() - t0
+
+    records, flux = [], []
+    for b, raw in enumerate(records_raw):
+        k = len(centers_l[b])
+        records.append({
+            "init time": 0.0,       # device init is part of the one program
+            "runtime": total / B / max(k, 1) * 1000,               # ms/src
+            "total runtime": total / B,                            # s
+            "iterations": int(raw["iterations"]),
+            "init logL": float(raw["init logL"]),
+            "logL": float(raw["logL"]),
+            "skipped": [],
+            "n_sources": k,
+        })
+        flux.append(np.asarray(raw["flux"])[:k])
+    return records, flux
+
+
 def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
                         branch=None, root=None, paths=None, pipeline="main",
                         max_iter=None, e_rel=None):
@@ -124,7 +199,8 @@ def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
 
     ``pipeline``: "main" runs the reference-parity per-blend pipeline
     (testing/deblend.py:9-93 semantics); "lite" runs each set as one
-    batched engine fit (:func:`deblend_lite_batch`).
+    batched engine fit (:func:`deblend_lite_batch`); "stream" runs each
+    set through the device stream path (:func:`deblend_stream_batch`).
 
     Returns {set_id: [record, ...]}.
     """
@@ -136,7 +212,15 @@ def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
             blend_paths = paths or bundled_blends(set_id)
             datas = [np.load(p, allow_pickle=True) for p in blend_paths]
 
-            if pipeline == "lite":
+            if pipeline == "stream":
+                records, fluxes = deblend_stream_batch(
+                    datas, max_iter=max_iter, e_rel=e_rel)
+                for rec, data, path, fl in zip(records, datas, blend_paths,
+                                               fluxes):
+                    rec["sources"] = measure_flux_records(
+                        fl, data["catalog"], _channels(data))
+                    rec["blend"] = pathlib.Path(path).name
+            elif pipeline == "lite":
                 blends, records = deblend_lite_batch(datas, max_iter=max_iter,
                                                      e_rel=e_rel)
                 for rec, data, path, bl in zip(records, datas, blend_paths,

@@ -60,6 +60,18 @@ def measure_lite_sources(sources, catalog, channels):
     return records
 
 
+def measure_flux_records(fluxes, catalog, channels):
+    """Per-source flux + per-band magnitude error from raw (K, C) flux
+    arrays (the device stream path's measurement output)."""
+    records = []
+    for flux, row in zip(fluxes, catalog):
+        flux = np.asarray(flux)
+        rec = {"flux": flux.tolist()}
+        _truth_diff(rec, row, channels, flux)
+        records.append(rec)
+    return records
+
+
 def measure_sources(sources, catalog, channels):
     """Per-source flux and per-band magnitude error vs catalog truth
     (when the catalog carries intensity_<band> truth images)."""

@@ -92,3 +92,24 @@ class TestBatchedPipeline:
             assert key in records[0]
         med = sorted(r["logL"] for r in records)[25]
         assert np.isfinite(med)
+
+
+class TestStreamPipeline:
+    def test_stream_matches_lite_pipeline(self, small_set):
+        """The device stream pipeline reproduces the batched lite pipeline
+        on a generated set: same logL per blend (small init differences can
+        move individual optima slightly) and truth-matched magnitudes."""
+        root, paths = small_set
+        res_l = testing.deblend_and_measure(
+            set_ids=(91,), paths=paths, save=False, pipeline="lite",
+            max_iter=20)
+        res_s = testing.deblend_and_measure(
+            set_ids=(91,), paths=paths, save=False, pipeline="stream",
+            max_iter=20)
+        ll = np.asarray([r["logL"] for r in res_l[91]])
+        ls = np.asarray([r["logL"] for r in res_s[91]])
+        assert np.all(np.abs(ls - ll) < 0.02 * np.abs(ll))
+        for rec in res_s[91]:
+            assert rec["logL"] > rec["init logL"]
+            diffs = [s for s in rec["sources"] if "r diff" in s]
+            assert diffs, "no truth-matched sources measured"
