@@ -16,9 +16,11 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sets", type=int, nargs="+", default=[1, 2, 3, 4],
                    help="blend set ids (1-3 bundled, 4/5 generated)")
-    p.add_argument("--pipeline", choices=["main", "lite"], default="lite",
-                   help="per-blend reference-parity pipeline (main) or the "
-                        "batched engine (lite)")
+    p.add_argument("--pipeline", choices=["main", "lite", "stream"],
+                   default="lite",
+                   help="per-blend reference-parity pipeline (main), the "
+                        "batched engine with host init (lite), or the "
+                        "all-device stream path (stream)")
     p.add_argument("--branch", default=None,
                    help="store records under this branch name")
     p.add_argument("--root", default=None, help="store root (.regression)")
