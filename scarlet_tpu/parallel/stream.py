@@ -518,7 +518,9 @@ def stream_records(state, losses, aux, data=None, config=None,
         per_source = np.asarray(_stream_records_device(state, aux))
     its = np.asarray(state.it)
     last = np.asarray(state.last_loss)
-    n_act = np.asarray(aux["n_active"])
+    # physical active slots (aux["n_active"] counts desired components,
+    # which exceeds this when a blend overflows n_slots)
+    n_act = np.asarray(state.comp_active[0]).sum(axis=1)
     losses = np.asarray(losses)
     records = []
     for b in range(per_source.shape[0]):

@@ -313,3 +313,55 @@ class TestStreamInit:
             np.testing.assert_allclose(recs[b]["logL"], h_logL,
                                        rtol=5e-3,
                                        err_msg=f"crop {crops[b]}")
+
+
+class TestStreamEdgeCases:
+    def test_edge_sources_and_single_band(self, hsc):
+        """Sources at the image corners/edges and a single-band stack both
+        initialize and fit to finite improving losses."""
+        rng = np.random.default_rng(9)
+        C, H, W = 1, 40, 40
+        variance = np.full((C, H, W), 1e-4, np.float32)
+        images = (rng.standard_normal((C, H, W)).astype(np.float32)
+                  * np.sqrt(variance))
+        psf = lite.integrated_circular_gaussian(sigma=1.0).astype(np.float32)
+        ph = psf.shape[0] // 2
+        # corner source (0,0) and edge source (0, 20): clipped insertion
+        for (cy, cx) in ((2, 2), (0, 20), (39, 39)):
+            y0, y1 = max(0, cy - ph), min(H, cy + ph + 1)
+            x0, x1 = max(0, cx - ph), min(W, cx + ph + 1)
+            images[:, y0:y1, x0:x1] += psf[
+                y0 - (cy - ph):y1 - (cy - ph),
+                x0 - (cx - ph):x1 - (cx - ph)] * 4.0
+        psfs = psf[None].repeat(C, axis=0)
+        centers = np.asarray([[2, 2], [0, 20], [39, 39]])
+        recs, out, losses, aux = stream.deblend_device_stream(
+            images[None], variance[None], psfs[None], centers[None],
+            lite.integrated_circular_gaussian(sigma=0.6)[None].astype(
+                np.float32),
+            box_size=21, n_slots=6, max_iter=15, check_every=15)
+        assert np.isfinite(recs[0]["logL"])
+        assert recs[0]["logL"] > recs[0]["init logL"]
+        assert recs[0]["n_components"] >= 3
+
+    def test_single_source_single_slot(self, hsc):
+        """K=1 center with n_slots=1 (no split possible) works."""
+        rng = np.random.default_rng(10)
+        C, H, W = 3, 32, 32
+        variance = np.full((C, H, W), 1e-4, np.float32)
+        images = (rng.standard_normal((C, H, W)).astype(np.float32)
+                  * np.sqrt(variance))
+        psf = lite.integrated_circular_gaussian(sigma=1.0).astype(np.float32)
+        ph = psf.shape[0] // 2
+        images[:, 16 - ph:16 + ph + 1, 16 - ph:16 + ph + 1] += psf * 50.0
+        psfs = psf[None].repeat(C, axis=0)
+        centers = np.asarray([[16, 16]])
+        recs, out, losses, aux = stream.deblend_device_stream(
+            images[None], variance[None], psfs[None], centers[None],
+            lite.integrated_circular_gaussian(sigma=0.6)[None].astype(
+                np.float32),
+            box_size=21, n_slots=1, max_iter=10, check_every=10)
+        # a bright source wants a bulge/disk split -> 2 components, but
+        # only 1 slot exists: overflow flagged, fit still runs
+        assert recs[0]["n_components"] == 1
+        assert np.isfinite(recs[0]["logL"])
