@@ -149,6 +149,9 @@ def main():
     except Exception:
         final_logL = float("nan")
     n_ran = int(losses.shape[0])
+    # release the 512-batch steady-state buffers before the end-to-end
+    # section (HBM pressure there costs ~25% of its throughput)
+    del out_state, losses, bdata, bstate
 
     # ---- end-to-end: distinct blends through the DEVICE stream path
     # (batched init + fit + measurement as three compiled programs; no

@@ -176,27 +176,31 @@ def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
 # ---------------------------------------------------------------------------
 # Scene assembly and gradient gathering
 # ---------------------------------------------------------------------------
-def _scene_kernel(org_ref, models_ref, out_ref, *, K, hb, wb, P):
-    """Accumulate each component's (C, hb, wb) model into the padded scene,
+def _scene_kernel(org_ref, seds_ref, morphs_ref, out_ref, *, K, hb, wb, P):
+    """Accumulate each component's factorized model into the padded scene,
     entirely in VMEM (no HBM round trips per component, unlike vmapped
-    dynamic_update_slice).
+    dynamic_update_slice).  The sed x morph outer product forms IN VMEM per
+    slot — the (K, C, hb, wb) model stack is never materialized in HBM.
 
     Mosaic does not lower dynamic offsets on the lane dimension, so the
-    x-placement pads each model to the full lane width and rotates it into
-    column position with one dynamic circular roll (tpu.dynamic_rotate;
-    requires lane dim % 128 == 0); origins are clamped to [0, dim - box] by
-    the caller's padding, so the rotation never wraps.  The y-placement is
-    a dynamic-sublane-offset read-modify-write, which Mosaic does support,
-    so only a (C, hb, Wp) band is touched per component."""
+    x-placement pads each morphology to the full lane width and rotates it
+    into column position with one dynamic circular roll
+    (tpu.dynamic_rotate; requires lane dim % 128 == 0); origins are
+    clamped to [0, dim - box] by the caller's padding, so the rotation
+    never wraps.  The y-placement is a dynamic-sublane-offset
+    read-modify-write, which Mosaic does support, so only a (C, hb, Wp)
+    band is touched per component."""
     Wp = out_ref.shape[-1]
+    C = out_ref.shape[0]
     out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
     for k in range(K):
         oy = org_ref[2 * k] + P
         ox = org_ref[2 * k + 1] + P
-        tile = jnp.pad(models_ref[k], ((0, 0), (0, 0), (0, Wp - wb)))
-        tile = pltpu.roll(tile, ox, 2)
-        cur = out_ref[:, pl.ds(oy, hb), :]
-        out_ref[:, pl.ds(oy, hb), :] = cur + tile
+        m = jnp.pad(morphs_ref[k], ((0, 0), (0, Wp - wb)))   # (hb, Wp)
+        m = pltpu.roll(m, ox, 1)
+        for c in range(C):          # scalar sed x 2D tile (Mosaic-friendly)
+            cur = out_ref[c, pl.ds(oy, hb), :]
+            out_ref[c, pl.ds(oy, hb), :] = cur + seds_ref[k, c] * m
 
 
 @functools.partial(jax.jit, static_argnames=("scene_shape", "pad",
@@ -214,16 +218,15 @@ def scene_assembly(seds, morphs, origins, comp_active, scene_shape, pad,
     Hp = -(-(H + 2 * pad) // 8) * 8
     Wp = -(-(W + 2 * pad) // 128) * 128
 
-    # outer products are vectorized XLA work; the kernel only places
-    models = (seds * comp_active[:, None].astype(seds.dtype))
-    models = models[:, :, None, None] * morphs[:, None]      # (K, C, hb, wb)
+    gated = seds * comp_active[:, None].astype(seds.dtype)
 
     kernel = functools.partial(_scene_kernel, K=K, hb=hb, wb=wb, P=pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # models
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # seds
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # morphs
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
@@ -232,21 +235,31 @@ def scene_assembly(seds, morphs, origins, comp_active, scene_shape, pad,
         out_shape=jax.ShapeDtypeStruct((C, Hp, Wp), morphs.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(origins.reshape(-1), models)
+    )(origins.reshape(-1), gated, morphs)
     return scene[:, pad:pad + H, pad:pad + W]
 
 
-def _grad_window_kernel(org_ref, gpad_ref, out_ref, *, K, hb, wb, P):
+def _grad_window_kernel(org_ref, gpad_ref, seds_ref, morphs_ref,
+                        gsed_ref, gmorph_ref, *, K, hb, wb, P):
     """Slice each component's gradient band with a dynamic sublane offset,
     rotate its columns to the left edge (inverse of the scene kernel's
-    placement), and slice statically into the (K, C, hb, wb) output."""
+    placement), and contract IN VMEM: g_morph = sum_c sed_c * g_c and
+    g_sed_c = sum_hw g_c * morph — the (K, C, hb, wb) gradient-window
+    stack is never materialized in HBM."""
     Wp = gpad_ref.shape[-1]
+    C = gpad_ref.shape[0]
     for k in range(K):
         oy = org_ref[2 * k] + P
         ox = org_ref[2 * k + 1] + P
-        g = gpad_ref[:, pl.ds(oy, hb), :]                # (C, hb, Wp)
-        g = pltpu.roll(g, (Wp - ox) % Wp, 2)
-        out_ref[k] = g[:, :, :wb]                        # (C, hb, wb)
+        morph = morphs_ref[k]                            # (hb, wb)
+        gm = None
+        for c in range(C):          # scalar ops only (Mosaic-friendly)
+            g = gpad_ref[c, pl.ds(oy, hb), :]            # (hb, Wp)
+            g = pltpu.roll(g, (Wp - ox) % Wp, 1)[:, :wb]
+            t = seds_ref[k, c] * g
+            gm = t if gm is None else gm + t
+            gsed_ref[k, c] = jnp.sum(g * morph)
+        gmorph_ref[k] = gm
 
 
 @functools.partial(jax.jit, static_argnames=("pad", "interpret"))
@@ -272,16 +285,21 @@ def grad_gather(gpad, seds, morphs, origins, pad, interpret=False):
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # gpad
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # seds
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # morphs
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # per-slot sed scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
     )
-    gwin = pl.pallas_call(
+    g_seds, g_morphs = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((K, C, hb, wb), gpad.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((K, C), gpad.dtype),
+            jax.ShapeDtypeStruct((K, hb, wb), gpad.dtype),
+        ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(origins.reshape(-1), gpad)
-    # contractions are vectorized XLA work (lite/models.py:206-216)
-    g_seds = jnp.einsum("kchw,khw->kc", gwin, morphs)
-    g_morphs = jnp.einsum("kchw,kc->khw", gwin, seds)
+    )(origins.reshape(-1), gpad, seds, morphs)
     return g_seds, g_morphs
