@@ -44,6 +44,7 @@ __all__ = [
     "build_prox_monotonic",
     "get_center",
     "prox_monotonic_mask",
+    "monotonic_mask_device",
     "prox_cone",
     "prox_sdss_symmetry",
     "prox_soft_symmetry",
@@ -407,6 +408,73 @@ def _interpolate_orphans(all_i, all_j, unchecked, model, orphans, variance, boun
         else:
             orphans[i, j] = True
             model[i, j] = 0
+
+
+def monotonic_mask_device(X, center, center_radius=1, variance=0.0):
+    """Device (jit/vmap-safe) monotonic reachability mask: the exact set of
+    pixels reachable from the peak through 4-connected paths with
+    non-increasing (within ``variance``) positive values.
+
+    The reference computes this with an order-dependent flood fill
+    (operators_pybind11.cc:61-124 / _flood_monotonic), but acceptance
+    depends only on the ORIGINAL pixel values and the validity of a
+    4-neighbor, so the accepted set is the monotone closure — a
+    fixed-point of boolean propagation, which this computes with a
+    ``lax.while_loop`` of vectorized passes (exact, order-independent;
+    equivalent to ``prox_monotonic_mask(..., max_iter=0)`` without orphan
+    interpolation).  Returns ``(valid, model)`` with
+    ``model = X * valid``; ``center`` may be a traced (y, x) pair.
+    """
+    X = jnp.asarray(X)
+    H, W = X.shape
+    cy = jnp.asarray(center[0], jnp.int32)
+    cx = jnp.asarray(center[1], jnp.int32)
+    if center_radius > 0:
+        r = int(center_radius)
+        # peak search window (operator.py:99-129), clipped at the low edge
+        y0 = jnp.maximum(cy - r, 0)
+        x0 = jnp.maximum(cx - r, 0)
+        win = jax.lax.dynamic_slice(
+            jnp.pad(X, ((0, 2 * r), (0, 2 * r)),
+                    constant_values=-jnp.inf),
+            (y0, x0), (2 * r + 1, 2 * r + 1))
+        # mask out columns/rows past the true (unclipped) high edge
+        yy, xx = jnp.mgrid[0:2 * r + 1, 0:2 * r + 1]
+        ok = ((y0 + yy <= cy + r) & (x0 + xx <= cx + r)
+              & (y0 + yy < H) & (x0 + xx < W))
+        win = jnp.where(ok, win, -jnp.inf)
+        k = jnp.argmax(win.reshape(-1))
+        cy = y0 + k // (2 * r + 1)
+        cx = x0 + k % (2 * r + 1)
+
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    valid0 = (yy == cy) & (xx == cx)
+    pos = X > 0
+
+    def shift2(m, dy, dx):
+        pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
+        p = jnp.pad(m, pad)
+        return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
+
+    center_mask = valid0
+
+    def passes(state):
+        valid, _ = state
+        new = valid
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb_valid = shift2(valid, dy, dx)
+            nb_val = shift2(X, dy, dx)
+            new = new | (nb_valid & (X < nb_val + variance) & pos)
+        return new | center_mask, jnp.any(new != valid)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        return passes(state)
+
+    valid, _ = jax.lax.while_loop(cond, body, (valid0, jnp.asarray(True)))
+    return valid, X * valid
 
 
 def prox_monotonic_mask(X, step=0, center=None, center_radius=1, variance=0.0,

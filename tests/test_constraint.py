@@ -261,3 +261,47 @@ class TestConstraints:
         )
         assert not valid[1, 1]
         assert model[1, 1] == 0
+
+
+class TestMonotonicMaskDevice:
+    def test_matches_host_flood_fill(self):
+        """The vectorized boolean-closure mask equals the reference's
+        order-dependent flood fill exactly (acceptance depends only on
+        original values, so the closure is order-independent)."""
+        d = np.load("/root/reference/data/hsc_cosmos_35.npz",
+                    allow_pickle=True)
+        images = d["images"].astype(np.float32)
+        variance = d["variance"].astype(np.float32)
+        rms = np.mean(np.sqrt(variance), axis=(1, 2))
+        detect = np.sum(images / (rms ** 2)[:, None, None], axis=0)
+        centers = [(int(round(r["y"])), int(round(r["x"])))
+                   for r in d["catalog"]]
+        for c in centers:
+            v_host, m_host, _ = prox_ops.prox_monotonic_mask(
+                detect, 0, c, max_iter=0)
+            v_dev, m_dev = prox_ops.monotonic_mask_device(detect, c)
+            assert_array_equal(np.asarray(v_dev), v_host)
+            np.testing.assert_allclose(np.asarray(m_dev), m_host)
+
+    def test_snaking_path_and_vmap(self):
+        """A monotone path that snakes (not radially direct) is still
+        reached; vmap over centers works (traced center coordinates)."""
+        import jax
+
+        X = np.zeros((9, 9), np.float32)
+        # spiral-ish decreasing ridge from the center
+        path = [(4, 4), (4, 5), (4, 6), (3, 6), (2, 6), (2, 5), (2, 4),
+                (2, 3), (2, 2), (3, 2), (4, 2), (5, 2), (6, 2)]
+        for i, (y, x) in enumerate(path):
+            X[y, x] = 10.0 - i * 0.5
+        v_host, m_host, _ = prox_ops.prox_monotonic_mask(
+            X, 0, (4, 4), max_iter=0)
+        v_dev, m_dev = prox_ops.monotonic_mask_device(X, (4, 4))
+        assert_array_equal(np.asarray(v_dev), v_host)
+        assert bool(np.asarray(v_dev)[6, 2])      # end of the snake
+
+        centers = jnp.asarray([[4, 4], [2, 4]])
+        vs, ms = jax.vmap(
+            lambda c: prox_ops.monotonic_mask_device(jnp.asarray(X), c)
+        )(centers)
+        assert_array_equal(np.asarray(vs[0]), v_host)
