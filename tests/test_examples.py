@@ -17,6 +17,9 @@ def test_example_runs(script, tmp_path):
     env["SCARLET_TPU_FAST"] = "1"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    # the accelerator sitecustomize overrides JAX_PLATFORMS when the pool
+    # env var is present; drop it so the doc-tests never touch the tunnel
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     result = subprocess.run(
         [sys.executable, str(EXAMPLES / script)],
         capture_output=True, text=True, cwd=tmp_path, timeout=420, env=env)
