@@ -107,7 +107,7 @@ def _quantized_boxsize(size, cap, min_size=21, increment=10):
 def _init_one_blend(images, variance, weights, psfs, centers, center_on,
                     model_psf, scene_valid, mono_w8, mono_keep, *, S,
                     n_slots, fft_shape, match_shape, psf_fft_shape,
-                    mono_iter, min_snr, thresh, percentile):
+                    mono_iter, min_snr, thresh, percentile, use_mask):
     """Initialize ONE blend (vmapped over the batch by stream_setup).
 
     Returns per-blend (data_leaves, state_leaves, aux) with slot-packed
@@ -192,13 +192,20 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
         both = valid & valid[::-1, ::-1]
         d = jnp.where(both, jnp.minimum(d, d[::-1, ::-1]), d)
 
-        # exact weighted-monotonic projection about the center
-        m = _mono_project(d, mono_w8, mono_keep, mono_iter)
+        if use_mask:
+            # monotonic reachability mask (prox_monotonic_mask semantics:
+            # flood-fill closure, no threshold trim)
+            on, m = prox_ops.monotonic_mask_device(d, (hS, hS))
+            no_support = (jnp.sum(on) <= 1) & (jnp.max(m) <= 0)
+        else:
+            # exact weighted-monotonic projection about the center
+            m = _mono_project(d, mono_w8, mono_keep, mono_iter)
 
-        # threshold trim (initialization.trim_morphology): zero
-        # sub-threshold pixels, centered quantized logical box
-        m = jnp.where(m > thresh_val, m, jnp.asarray(0.0, dtype))
-        on = m > 0
+            # threshold trim (initialization.trim_morphology): zero
+            # sub-threshold pixels, centered quantized logical box
+            m = jnp.where(m > thresh_val, m, jnp.asarray(0.0, dtype))
+            on = m > 0
+            no_support = jnp.asarray(False)
         row_on = jnp.any(on, axis=1)
         col_on = jnp.any(on, axis=0)
         y0 = jnp.min(jnp.where(row_on, ridx, S))
@@ -208,13 +215,20 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
         contains = (y0 <= hS) & (hS <= y1) & (x0 <= hS) & (hS <= x1)
         size = 2 * jnp.maximum(
             jnp.maximum(hS - y0, y1 - hS), jnp.maximum(hS - x0, x1 - hS))
+        if use_mask:
+            # project_morph_to_center: center outside the support box just
+            # falls to the minimum quantized box, never the PSF fallback
+            size = jnp.where(contains, size, 0)
         half = _quantized_boxsize(size, S) // 2
         box_mask = ((jnp.abs(yy - hS) <= half)
                     & (jnp.abs(xx - hS) <= half)).astype(dtype)
         m = m * box_mask
 
         morph_max = jnp.max(m)
-        fallback = (~contains) | (morph_max <= 0)
+        if use_mask:
+            fallback = no_support | (morph_max <= 0)
+        else:
+            fallback = (~contains) | (morph_max <= 0)
 
         # peak SED from the image/convolved-detection ratio
         img_pk = images[:, cy, cx]
@@ -317,16 +331,17 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
 
 @partial(jax.jit, static_argnames=(
     "S", "n_slots", "fft_shape", "match_shape", "psf_fft_shape",
-    "mono_iter", "min_snr", "thresh", "percentile"))
+    "mono_iter", "min_snr", "thresh", "percentile", "use_mask"))
 def _stream_init_batch(images, variance, weights, psfs, centers, center_on,
                        model_psf, scene_valid, mono_w8, mono_keep, *, S,
                        n_slots, fft_shape, match_shape, psf_fft_shape,
-                       mono_iter, min_snr, thresh, percentile):
+                       mono_iter, min_snr, thresh, percentile,
+                       use_mask=False):
     one = partial(
         _init_one_blend, S=S, n_slots=n_slots, fft_shape=fft_shape,
         match_shape=match_shape, psf_fft_shape=psf_fft_shape,
         mono_iter=mono_iter, min_snr=min_snr, thresh=thresh,
-        percentile=percentile)
+        percentile=percentile, use_mask=use_mask)
     return jax.vmap(
         lambda im, va, we, ps, ce, on, sv: one(im, va, we, ps, ce, on,
                                                model_psf, sv, mono_w8,
@@ -338,7 +353,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  weights=None, center_active=None, scene_valid=None, *,
                  box_size, n_slots, min_snr=50, thresh=0.5, percentile=25,
                  bg_thresh=None, e_rel=1e-4, min_iter=1, fft_shape=None,
-                 platform=None):
+                 platform=None, use_mask=False):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -404,7 +419,8 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         n_slots=int(n_slots),
         fft_shape=tuple(fft_shape), match_shape=match_shape,
         psf_fft_shape=psf_fft_shape, mono_iter=depth, min_snr=float(min_snr),
-        thresh=float(thresh), percentile=float(percentile))
+        thresh=float(thresh), percentile=float(percentile),
+        use_mask=bool(use_mask))
 
     if platform is None:
         platform = jax.devices()[0].platform

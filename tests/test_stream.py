@@ -365,3 +365,43 @@ class TestStreamEdgeCases:
         # only 1 slot exists: overflow flagged, fit still runs
         assert recs[0]["n_components"] == 1
         assert np.isfinite(recs[0]["logL"])
+
+
+class TestStreamUseMask:
+    def test_use_mask_matches_host(self, hsc):
+        """use_mask=True (monotonic-mask flood-fill seeds instead of the
+        weighted projection) reproduces the host path: bit-equal morphs,
+        identical origins/boxes, same fitted logL."""
+        obs = lite.LiteObservation(hsc["images"], hsc["variance"],
+                                   hsc["weights"], hsc["psfs"],
+                                   model_psf=hsc["model_psf"])
+        srcs = lite.init_all_sources_main(obs, hsc["centers"], min_snr=50,
+                                          use_mask=True)
+        srcs = lite.parameterize_sources(srcs, obs,
+                                         lite.init_adaprox_component)
+        bl = lite.LiteBlend(srcs, obs)
+        cfg, hdata, hstate = bl.engine_setup(e_rel=1e-4)
+        S = cfg.box_shapes[0][0]
+        n_slots = cfg.bucket_counts[0]
+
+        scfg, sdata, sstate, aux = stream.stream_setup(
+            hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
+            np.asarray(hsc["centers"])[None], hsc["model_psf"],
+            box_size=S, n_slots=n_slots, use_mask=True)
+        np.testing.assert_array_equal(np.asarray(sstate.origins[0][0]),
+                                      np.asarray(hstate.origins[0]))
+        np.testing.assert_array_equal(np.asarray(sdata.box_masks[0][0]),
+                                      np.asarray(hdata.box_masks[0]))
+        np.testing.assert_array_equal(np.asarray(sstate.morphs[0][0]),
+                                      np.asarray(hstate.morphs[0]))
+        np.testing.assert_allclose(np.asarray(sstate.seds[0][0]),
+                                   np.asarray(hstate.seds[0]), rtol=2e-2,
+                                   atol=1e-3)
+
+        bdata, bstate = parallel.replicate_blend(hdata, hstate, 1)
+        hout, _ = parallel.fit_batch_device_converged(
+            bstate, bdata, cfg, 30, check_every=30)
+        sout, _ = parallel.fit_batch_device_converged(
+            sstate, sdata, scfg, 30, check_every=30)
+        np.testing.assert_allclose(float(sout.last_loss[0]),
+                                   float(hout.last_loss[0]), rtol=1e-3)
