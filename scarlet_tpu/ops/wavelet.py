@@ -23,6 +23,7 @@ __all__ = [
     "starlet_reconstruction",
     "multiband_starlet_reconstruction",
     "get_multiresolution_support",
+    "multiresolution_support_jax",
     "apply_wavelet_denoising",
 ]
 
@@ -262,6 +263,67 @@ def get_multiresolution_support(image, starlets, sigma, K=3, epsilon=1e-1,
                 break
             last_sigma_j = sigma_j
     return M.astype(int)
+
+
+def multiresolution_support_jax(starlets, sigma, K=3, epsilon=1e-1,
+                                max_iter=20, valid=None):
+    """Device (jit/vmap-safe) ground-type significance masks: the exact
+    iteration of :func:`get_multiresolution_support` (``image_type=
+    "ground"``, ref wavelet.py:331-408) as a ``lax.while_loop``.
+
+    The host loop's early ``break`` is emulated by a convergence flag in
+    the carry; the returned mask uses the sigma of the *last executed*
+    iteration (what the host's ``M`` holds at break time).  ``valid`` is
+    an optional (H, W) mask of real pixels for zero-padded layouts — the
+    per-scale std then runs over valid pixels only, which reproduces the
+    natural-crop computation exactly (the starlet transform's zero
+    boundary makes zero padding transparent).
+
+    Returns the (J, H, W) int mask.
+    """
+    import jax
+
+    starlets = jnp.asarray(starlets)
+    J = starlets.shape[0]
+    dtype = starlets.dtype
+    if valid is None:
+        validb = jnp.ones(starlets.shape[-2:], bool)
+    else:
+        validb = jnp.asarray(valid) > 0
+    n_valid = jnp.maximum(jnp.sum(validb), 1).astype(dtype)
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype).name).tiny, dtype)
+
+    def masked_std(x):
+        xm = jnp.where(validb, x, 0)
+        mean = jnp.sum(xm, axis=(-2, -1)) / n_valid
+        var = jnp.sum(
+            jnp.where(validb, (x - mean[:, None, None]) ** 2, 0),
+            axis=(-2, -1)) / n_valid
+        return jnp.sqrt(var)
+
+    sigma0 = jnp.full((J,), sigma, dtype)
+
+    def cond(carry):
+        _, _, done, it = carry
+        return (~done) & (it < max_iter)
+
+    def body(carry):
+        sigma_cur, _, _, it = carry
+        M = jnp.abs(starlets) > K * sigma_cur[:, None, None]
+        S = (~M) & validb
+        sigma_next = masked_std(starlets * S)
+        cut = sigma_next > 0
+        conv = jnp.all(jnp.where(
+            cut,
+            jnp.abs(sigma_next - sigma_cur)
+            / jnp.maximum(sigma_next, tiny) < epsilon,
+            True))
+        return sigma_next, sigma_cur, conv, it + 1
+
+    _, sigma_M, _, _ = jax.lax.while_loop(
+        cond, body, (sigma0, sigma0, jnp.asarray(False),
+                     jnp.asarray(0, jnp.int32)))
+    return (jnp.abs(starlets) > K * sigma_M[:, None, None]).astype(jnp.int32)
 
 
 def apply_wavelet_denoising(image, sigma=None, k=3, epsilon=1e-1, max_iter=20,

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from ..ops import fft as fft_ops
 from ..ops import prox as prox_ops
+from ..ops import wavelet as wavelet_ops
 from ..optim import AdaproxState
 from ..lite import engine
 from ..initialization import get_minimal_boxsize
@@ -104,10 +105,40 @@ def _quantized_boxsize(size, cap, min_size=21, increment=10):
     return jnp.minimum(min_size + k * increment, cap)
 
 
+def _wavelet_dictionaries(images, variance, scene_valid, n_scales,
+                          bulge_scales, dtype):
+    """Detection dictionaries for the wavelet init recipe, on device.
+
+    Mirrors get_detect_wavelets (detect.py: band sum, median-sigma,
+    starlet + multiresolution support) and the WaveletInitParameters
+    coadds (ref lite/initialization.py:422-477): wavelets clipped at 0,
+    detectlets = sum of all detail scales, bulgelets = scales[:b],
+    disklets = scales[b:-1].
+    """
+    C = images.shape[0]
+    validb = scene_valid > 0.5
+    detect_sum = jnp.where(validb, jnp.sum(images, 0), 0.0)
+    # exact masked median of sqrt(variance) over valid pixels of all bands
+    sq = jnp.where(validb[None], jnp.sqrt(variance), jnp.inf)
+    flat = jnp.sort(sq.ravel())
+    nv = (C * jnp.sum(validb)).astype(jnp.int32)
+    sigma_w = 0.5 * (flat[(nv - 1) // 2] + flat[nv // 2])
+    coeffs = wavelet_ops.starlet_transform(detect_sum, scales=n_scales)
+    M = wavelet_ops.multiresolution_support_jax(
+        coeffs, sigma_w, K=3, epsilon=1e-1, max_iter=20, valid=scene_valid)
+    w = jnp.maximum(M.astype(dtype) * coeffs, 0.0)
+    detectlets = jnp.sum(w[:-1], 0)
+    bulgelets = jnp.sum(w[:bulge_scales], 0)
+    disklets = jnp.sum(w[bulge_scales:-1], 0)
+    return detectlets, bulgelets, disklets
+
+
 def _init_one_blend(images, variance, weights, psfs, centers, center_on,
                     model_psf, scene_valid, mono_w8, mono_keep, *, S,
                     n_slots, fft_shape, match_shape, psf_fft_shape,
-                    mono_iter, min_snr, thresh, percentile, use_mask):
+                    mono_iter, min_snr, thresh, percentile, use_mask,
+                    recipe="main", grow=5, n_scales=5, bulge_scales=2,
+                    use_psf=True):
     """Initialize ONE blend (vmapped over the batch by stream_setup).
 
     Returns per-blend (data_leaves, state_leaves, aux) with slot-packed
@@ -117,6 +148,7 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
     hS = S // 2
     dtype = images.dtype
     tiny = jnp.asarray(1e-20, dtype)
+    wavelets_mode = recipe == "wavelets"
 
     # --- observation-level quantities -------------------------------------
     # scene_valid masks caller padding (heterogeneous crops packed to one
@@ -124,8 +156,12 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
     n_valid = jnp.maximum(jnp.sum(scene_valid), 1.0)
     noise_rms = jnp.sum(jnp.sqrt(variance) * scene_valid,
                         axis=(1, 2)) / n_valid                     # (C,)
-    detect = (jnp.sum(images / (noise_rms ** 2)[:, None, None], 0)
-              * scene_valid)                                       # (H,W)
+    if wavelets_mode:
+        detect, bulgelets, disklets = _wavelet_dictionaries(
+            images, variance, scene_valid, n_scales, bulge_scales, dtype)
+    else:
+        detect = (jnp.sum(images / (noise_rms ** 2)[:, None, None], 0)
+                  * scene_valid)                                   # (H,W)
 
     # difference kernel (fft.match_psf semantics: k-space ratio at the
     # PSF-matching shape, kernel image at the PSF shape) and its rFFTs at
@@ -176,86 +212,12 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
     yy, xx = jnp.mgrid[0:S, 0:S]
     ridx = jnp.arange(S)
 
-    def per_center(cy, cx):
+    def center_snr(cy, cx):
         # SNR (lite/measure.py calculate_snr): PSF-weighted peak S/N
         img_c = jax.lax.dynamic_slice(ipad_p, (z0, cy, cx), (C, ph, pw))
         var_c = jax.lax.dynamic_slice(vpad_p, (z0, cy, cx), (C, ph, pw))
-        snr = (jnp.sum(img_c * psfs)
-               / jnp.sqrt(jnp.maximum(jnp.sum(psfs * var_c * psfs), tiny)))
-        split_snr = jnp.floor(snr) / min_snr >= 2
-
-        # centered S x S detection cutout; SDSS symmetrization only where
-        # both a pixel and its mirror are inside the image
-        # (prox_uncentered_symmetry leaves the rest untouched)
-        d = jax.lax.dynamic_slice(dpad, (cy, cx), (S, S))
-        valid = jax.lax.dynamic_slice(vpad, (cy, cx), (S, S)) > 0.5
-        both = valid & valid[::-1, ::-1]
-        d = jnp.where(both, jnp.minimum(d, d[::-1, ::-1]), d)
-
-        if use_mask:
-            # monotonic reachability mask (prox_monotonic_mask semantics:
-            # flood-fill closure, no threshold trim)
-            on, m = prox_ops.monotonic_mask_device(d, (hS, hS))
-            no_support = (jnp.sum(on) <= 1) & (jnp.max(m) <= 0)
-        else:
-            # exact weighted-monotonic projection about the center
-            m = _mono_project(d, mono_w8, mono_keep, mono_iter)
-
-            # threshold trim (initialization.trim_morphology): zero
-            # sub-threshold pixels, centered quantized logical box
-            m = jnp.where(m > thresh_val, m, jnp.asarray(0.0, dtype))
-            on = m > 0
-            no_support = jnp.asarray(False)
-        row_on = jnp.any(on, axis=1)
-        col_on = jnp.any(on, axis=0)
-        y0 = jnp.min(jnp.where(row_on, ridx, S))
-        y1 = jnp.max(jnp.where(row_on, ridx, -1))
-        x0 = jnp.min(jnp.where(col_on, ridx, S))
-        x1 = jnp.max(jnp.where(col_on, ridx, -1))
-        contains = (y0 <= hS) & (hS <= y1) & (x0 <= hS) & (hS <= x1)
-        size = 2 * jnp.maximum(
-            jnp.maximum(hS - y0, y1 - hS), jnp.maximum(hS - x0, x1 - hS))
-        if use_mask:
-            # project_morph_to_center: center outside the support box just
-            # falls to the minimum quantized box, never the PSF fallback
-            size = jnp.where(contains, size, 0)
-        half = _quantized_boxsize(size, S) // 2
-        box_mask = ((jnp.abs(yy - hS) <= half)
-                    & (jnp.abs(xx - hS) <= half)).astype(dtype)
-        m = m * box_mask
-
-        morph_max = jnp.max(m)
-        if use_mask:
-            fallback = no_support | (morph_max <= 0)
-        else:
-            fallback = (~contains) | (morph_max <= 0)
-
-        # peak SED from the image/convolved-detection ratio
-        img_pk = images[:, cy, cx]
-        sed = jnp.maximum(img_pk / convolved[:, cy, cx], 0.0) * morph_max
-        morph = m / jnp.maximum(morph_max, tiny)
-
-        # PSF fallback
-        sed_fb = jnp.maximum(img_pk / psf_sed, 0.0)
-        morph = jnp.where(fallback, psf_morph, morph)
-        sed = jnp.where(fallback, sed_fb, sed)
-        box_mask = jnp.where(fallback, psf_box_mask, box_mask)
-
-        # bulge/disk split candidates (percentile/100 flux threshold)
-        disk = jnp.minimum(morph, flux_thresh)
-        bulge = jnp.maximum(morph - flux_thresh, 0.0)
-        bmax = jnp.max(bulge)
-        dmax = jnp.max(disk)
-        split = split_snr & (~fallback) & (bmax > 0) & (dmax > 0)
-        bulge = bulge / jnp.maximum(bmax, tiny)
-        disk = disk / jnp.maximum(dmax, tiny)
-        return (morph, sed, box_mask, bulge, disk, split,
-                fallback, snr)
-
-    cys = centers[:, 0]
-    cxs = centers[:, 1]
-    (morph1, sed1, bmask, bulge, disk, split, fallback, snr) = jax.vmap(
-        per_center)(cys, cxs)
+        return (jnp.sum(img_c * psfs)
+                / jnp.sqrt(jnp.maximum(jnp.sum(psfs * var_c * psfs), tiny)))
 
     # --- joint bulge/disk SEDs (multifit_seds, closed-form 2x2) ----------
     def conv_box(mor, cy, cx):
@@ -286,19 +248,193 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
         sd = (g11 * b2 - g12 * b1) / det
         return jnp.maximum(sb, 0.0), jnp.maximum(sd, 0.0)
 
-    bulge_sed, disk_sed = jax.vmap(fit_seds)(bulge, disk, bmask, cys, cxs)
+    cys = centers[:, 0]
+    cxs = centers[:, 1]
+
+    if wavelets_mode:
+        # --- wavelet recipe (ref lite/initialization.py:480-559) ----------
+        bpad = jnp.pad(bulgelets, hS)
+        kpad = jnp.pad(disklets, hS)
+
+        def box_from_on(on):
+            # project_morph_to_center box: centered quantized box covering
+            # the mask bounds grown by ``grow`` (lite/utils.py:41-65; note
+            # the stop-side +1 of the Box bound convention)
+            row_on = jnp.any(on, axis=1)
+            col_on = jnp.any(on, axis=0)
+            y0 = jnp.min(jnp.where(row_on, ridx, S))
+            y1 = jnp.max(jnp.where(row_on, ridx, -1))
+            x0 = jnp.min(jnp.where(col_on, ridx, S))
+            x1 = jnp.max(jnp.where(col_on, ridx, -1))
+            reach = jnp.maximum(jnp.maximum(hS - y0, y1 + 1 - hS),
+                                jnp.maximum(hS - x0, x1 + 1 - hS))
+            size = 2 * (reach + grow)
+            half = _quantized_boxsize(size, S) // 2
+            return ((jnp.abs(yy - hS) <= half)
+                    & (jnp.abs(xx - hS) <= half)).astype(dtype)
+
+        def mask_morph(pad_img, cy, cx):
+            dd = jax.lax.dynamic_slice(pad_img, (cy, cx), (S, S))
+            on, m = prox_ops.monotonic_mask_device(dd, (hS, hS))
+            no_support = (jnp.sum(on) <= 1) & (jnp.max(m) <= 0)
+            bm = box_from_on(on)
+            m = m * bm
+            mx = jnp.max(m)
+            return m / jnp.maximum(mx, tiny), bm, no_support | (mx <= 0)
+
+        def per_center(cy, cx):
+            snr = center_snr(cy, cx)
+            nbr = jnp.floor(snr) / min_snr
+            psf_gate = ((nbr < 1) & bool(use_psf)) | (detect[cy, cx] <= 0)
+            morph1, bm1, no1 = mask_morph(dpad, cy, cx)
+            morphB, bmB, noB = mask_morph(bpad, cy, cx)
+            morphD, bmD, noD = mask_morph(kpad, cy, cx)
+            want_split = (nbr >= 2) & ~psf_gate
+            split = want_split & ~noB & ~noD
+            # both bulge and disk empty -> null source; exactly one empty
+            # -> degrade to the single-component path; single with no
+            # support -> null (ref init_wavelet_source fallthrough)
+            null_both = want_split & noB & noD
+            single = (~psf_gate) & ~split & ~null_both
+            null = null_both | (single & no1)
+
+            img_pk = images[:, cy, cx]
+            sed1 = jnp.maximum(img_pk / convolved[:, cy, cx], 0.0)
+            sed_fb = jnp.maximum(img_pk / psf_sed, 0.0)
+            return (morph1, sed1, sed_fb, bm1, morphB, bmB, morphD, bmD,
+                    split, psf_gate, null, snr)
+
+        (morph1, sed1, sed_fb, bm1, bulge, bmB, disk, bmD, split,
+         psf_gate, null, snr) = jax.vmap(per_center)(cys, cxs)
+
+        union_bm = jnp.maximum(bmB, bmD)
+        bulge_sed, disk_sed = jax.vmap(fit_seds)(bulge, disk, union_bm,
+                                                 cys, cxs)
+
+        # components whose joint-SED solve is all-zero are dropped ("cut
+        # bulge"/"cut disk", ref lite/initialization.py:371-381); both cut
+        # -> null source
+        bulge_cut = ~jnp.any(bulge_sed > 0, axis=1)
+        disk_cut = ~jnp.any(disk_sed > 0, axis=1)
+
+        sel3 = split[:, None, None]
+        sel1 = split[:, None]
+        gate3 = psf_gate[:, None, None]
+        gate1 = psf_gate[:, None]
+        prim_morph = jnp.where(gate3, psf_morph,
+                               jnp.where(sel3, bulge, morph1))
+        prim_sed = jnp.where(gate1, sed_fb,
+                             jnp.where(sel1, bulge_sed, sed1))
+        prim_mask = jnp.where(gate3, psf_box_mask,
+                              jnp.where(sel3, bmB, bm1))
+        disk_morph = disk
+        disk_mask = bmD
+        prim_on = center_on & ~null & ~(split & bulge_cut)
+        disk_on = center_on & split & ~disk_cut
+        split = split & ~bulge_cut & ~disk_cut
+        fallback = psf_gate
+    else:
+        # --- main recipe (ref lite/initialization.py:321-419) -------------
+        def per_center(cy, cx):
+            snr = center_snr(cy, cx)
+            split_snr = jnp.floor(snr) / min_snr >= 2
+
+            # centered S x S detection cutout; SDSS symmetrization only
+            # where both a pixel and its mirror are inside the image
+            # (prox_uncentered_symmetry leaves the rest untouched)
+            d = jax.lax.dynamic_slice(dpad, (cy, cx), (S, S))
+            valid = jax.lax.dynamic_slice(vpad, (cy, cx), (S, S)) > 0.5
+            both = valid & valid[::-1, ::-1]
+            d = jnp.where(both, jnp.minimum(d, d[::-1, ::-1]), d)
+
+            if use_mask:
+                # monotonic reachability mask (prox_monotonic_mask
+                # semantics: flood-fill closure, no threshold trim)
+                on, m = prox_ops.monotonic_mask_device(d, (hS, hS))
+                no_support = (jnp.sum(on) <= 1) & (jnp.max(m) <= 0)
+            else:
+                # exact weighted-monotonic projection about the center
+                m = _mono_project(d, mono_w8, mono_keep, mono_iter)
+
+                # threshold trim (initialization.trim_morphology): zero
+                # sub-threshold pixels, centered quantized logical box
+                m = jnp.where(m > thresh_val, m, jnp.asarray(0.0, dtype))
+                on = m > 0
+                no_support = jnp.asarray(False)
+            row_on = jnp.any(on, axis=1)
+            col_on = jnp.any(on, axis=0)
+            y0 = jnp.min(jnp.where(row_on, ridx, S))
+            y1 = jnp.max(jnp.where(row_on, ridx, -1))
+            x0 = jnp.min(jnp.where(col_on, ridx, S))
+            x1 = jnp.max(jnp.where(col_on, ridx, -1))
+            contains = (y0 <= hS) & (hS <= y1) & (x0 <= hS) & (hS <= x1)
+            # trim_morphology size: note the stop-side +1 of the Box bound
+            # convention (initialization.py:150-157)
+            size = 2 * jnp.maximum(
+                jnp.maximum(hS - y0, y1 + 1 - hS),
+                jnp.maximum(hS - x0, x1 + 1 - hS))
+            if use_mask:
+                # project_morph_to_center: center outside the support box
+                # just falls to the minimum quantized box, never the PSF
+                # fallback
+                size = jnp.where(contains, size, 0)
+            half = _quantized_boxsize(size, S) // 2
+            box_mask = ((jnp.abs(yy - hS) <= half)
+                        & (jnp.abs(xx - hS) <= half)).astype(dtype)
+            m = m * box_mask
+
+            morph_max = jnp.max(m)
+            if use_mask:
+                fallback = no_support | (morph_max <= 0)
+            else:
+                fallback = (~contains) | (morph_max <= 0)
+
+            # peak SED from the image/convolved-detection ratio
+            img_pk = images[:, cy, cx]
+            sed = jnp.maximum(img_pk / convolved[:, cy, cx],
+                              0.0) * morph_max
+            morph = m / jnp.maximum(morph_max, tiny)
+
+            # PSF fallback
+            sed_fb = jnp.maximum(img_pk / psf_sed, 0.0)
+            morph = jnp.where(fallback, psf_morph, morph)
+            sed = jnp.where(fallback, sed_fb, sed)
+            box_mask = jnp.where(fallback, psf_box_mask, box_mask)
+
+            # bulge/disk split candidates (percentile/100 flux threshold)
+            disk = jnp.minimum(morph, flux_thresh)
+            bulge = jnp.maximum(morph - flux_thresh, 0.0)
+            bmax = jnp.max(bulge)
+            dmax = jnp.max(disk)
+            split = split_snr & (~fallback) & (bmax > 0) & (dmax > 0)
+            bulge = bulge / jnp.maximum(bmax, tiny)
+            disk = disk / jnp.maximum(dmax, tiny)
+            return (morph, sed, box_mask, bulge, disk, split,
+                    fallback, snr)
+
+        (morph1, sed1, bmask, bulge, disk, split, fallback, snr) = jax.vmap(
+            per_center)(cys, cxs)
+
+        bulge_sed, disk_sed = jax.vmap(fit_seds)(bulge, disk, bmask,
+                                                 cys, cxs)
+
+        prim_morph = jnp.where(split[:, None, None], bulge, morph1)
+        prim_sed = jnp.where(split[:, None], bulge_sed, sed1)
+        prim_mask = bmask
+        disk_morph = disk
+        disk_mask = bmask
+        prim_on = center_on
+        disk_on = center_on & split
 
     # --- slot packing: (bulge|single, disk) interleaved, compacted -------
     K = centers.shape[0]
-    prim_morph = jnp.where(split[:, None, None], bulge, morph1)
-    prim_sed = jnp.where(split[:, None], bulge_sed, sed1)
     origins_k = jnp.stack([cys - hS, cxs - hS], axis=-1).astype(jnp.int32)
 
     seds2 = jnp.stack([prim_sed, disk_sed], 1).reshape(2 * K, C)
-    morphs2 = jnp.stack([prim_morph, disk], 1).reshape(2 * K, S, S)
-    bmask2 = jnp.stack([bmask, bmask], 1).reshape(2 * K, S, S)
+    morphs2 = jnp.stack([prim_morph, disk_morph], 1).reshape(2 * K, S, S)
+    bmask2 = jnp.stack([prim_mask, disk_mask], 1).reshape(2 * K, S, S)
     origins2 = jnp.stack([origins_k, origins_k], 1).reshape(2 * K, 2)
-    active2 = jnp.stack([center_on, center_on & split], 1).reshape(2 * K)
+    active2 = jnp.stack([prim_on, disk_on], 1).reshape(2 * K)
     source2 = jnp.stack([jnp.arange(K), jnp.arange(K)], 1).reshape(2 * K)
 
     order = jnp.argsort(~active2, stable=True)[:n_slots]
@@ -331,17 +467,20 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
 
 @partial(jax.jit, static_argnames=(
     "S", "n_slots", "fft_shape", "match_shape", "psf_fft_shape",
-    "mono_iter", "min_snr", "thresh", "percentile", "use_mask"))
+    "mono_iter", "min_snr", "thresh", "percentile", "use_mask",
+    "recipe", "grow", "n_scales", "bulge_scales", "use_psf"))
 def _stream_init_batch(images, variance, weights, psfs, centers, center_on,
                        model_psf, scene_valid, mono_w8, mono_keep, *, S,
                        n_slots, fft_shape, match_shape, psf_fft_shape,
                        mono_iter, min_snr, thresh, percentile,
-                       use_mask=False):
+                       use_mask=False, recipe="main", grow=5, n_scales=5,
+                       bulge_scales=2, use_psf=True):
     one = partial(
         _init_one_blend, S=S, n_slots=n_slots, fft_shape=fft_shape,
         match_shape=match_shape, psf_fft_shape=psf_fft_shape,
         mono_iter=mono_iter, min_snr=min_snr, thresh=thresh,
-        percentile=percentile, use_mask=use_mask)
+        percentile=percentile, use_mask=use_mask, recipe=recipe, grow=grow,
+        n_scales=n_scales, bulge_scales=bulge_scales, use_psf=use_psf)
     return jax.vmap(
         lambda im, va, we, ps, ce, on, sv: one(im, va, we, ps, ce, on,
                                                model_psf, sv, mono_w8,
@@ -353,7 +492,8 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  weights=None, center_active=None, scene_valid=None, *,
                  box_size, n_slots, min_snr=50, thresh=0.5, percentile=25,
                  bg_thresh=None, e_rel=1e-4, min_iter=1, fft_shape=None,
-                 platform=None, use_mask=False):
+                 platform=None, use_mask=False, recipe="main", grow=5,
+                 wavelet_scales=5, bulge_scales=2, use_psf=True):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -373,6 +513,15 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     box_size : physical component box S (odd).  Static.
     n_slots : component slots per blend (>= max expected components; a
         blend needing more sets ``aux["overflow"]``).  Static.
+    recipe : "main" (chi^2-coadd, SDSS-symmetrized monotonic seeds — ref
+        lite/initialization.py:321-419) or "wavelets" (starlet detection
+        dictionaries with multiresolution support; bulge from
+        scales[:bulge_scales], disk from scales[bulge_scales:-1], boxes
+        grown by ``grow`` — ref lite/initialization.py:422-605).  For
+        heterogeneous zero-padded streams the wavelet scale cap uses the
+        shared physical (H, W) rather than each blend's natural crop.
+    grow, wavelet_scales, bulge_scales, use_psf : wavelet-recipe knobs
+        (ref lite/initialization.py:289-291, 385-389).
 
     Returns (config, data, state, aux): batched BlendData/BlendState ready
     for ``fit_batch``/``fit_batch_device_converged`` at the same layout
@@ -413,6 +562,14 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     dtype = np.dtype(images.dtype)
     w8, keep_c, depth = _centered_mono_table(S, dtype)
 
+    if recipe not in ("main", "wavelets"):
+        raise ValueError(f"unknown recipe {recipe!r}")
+    # scale count capped by the PHYSICAL (H, W) exactly like the host caps
+    # by its natural image shape (wavelet.get_scales)
+    from ..ops.wavelet import get_scales
+
+    n_scales = get_scales((H, W), int(wavelet_scales))
+
     data_l, state_l, aux = _stream_init_batch(
         images, variance, weights, psfs, centers, center_active, model_psf,
         scene_valid, jnp.asarray(w8), jnp.asarray(keep_c), S=S,
@@ -420,7 +577,9 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         fft_shape=tuple(fft_shape), match_shape=match_shape,
         psf_fft_shape=psf_fft_shape, mono_iter=depth, min_snr=float(min_snr),
         thresh=float(thresh), percentile=float(percentile),
-        use_mask=bool(use_mask))
+        use_mask=bool(use_mask), recipe=str(recipe), grow=int(grow),
+        n_scales=int(n_scales), bulge_scales=int(bulge_scales),
+        use_psf=bool(use_psf))
 
     if platform is None:
         platform = jax.devices()[0].platform
@@ -563,14 +722,30 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     redistribution (weight_sources) instead of raw model fluxes.
 
     ``chunk`` splits the stream into sub-batches whose fits are dispatched
-    asynchronously before any result is collected, so the host->device
-    transfer + init of chunk ``i+1`` overlaps the fit of chunk ``i`` —
-    this hides the pixel-upload latency of a long stream behind compute.
+    asynchronously before any result is collected, so the init of chunk
+    ``i+1`` overlaps the fit of chunk ``i``.
+
+    The raw pixel stacks are bulk-uploaded in ONE async transfer up front
+    and sliced on device per chunk: piecemeal host->device transfers that
+    land while a fit program is executing crawl at ~1-5% of idle-device
+    bandwidth on a tunneled TPU (measured: 17 vs 680 MB/s), which costs
+    ~35% of end-to-end throughput if the upload is interleaved per chunk.
 
     Returns (records, state, losses, aux); with ``chunk`` set, state/
     losses/aux are per-chunk lists."""
     from .batch import (fit_batch_device_dispatch,
                         fit_batch_device_collect)
+
+    def put(x):
+        if x is None or isinstance(x, jnp.ndarray):
+            return x
+        return jax.device_put(np.ascontiguousarray(x))
+
+    images = put(images)
+    variance = put(variance)
+    psfs = put(psfs)
+    weights = put(weights)
+    scene_valid = put(scene_valid)
 
     B = images.shape[0]
     if chunk is None or chunk >= B:
