@@ -1,22 +1,26 @@
 """Benchmark: batched HSC 5-band deblending throughput on one chip.
 
-Two measurements on the bundled real HSC blend (hsc_cosmos_35), both at the
-reference's regression-harness setting (adaprox, e_rel=1e-4, cap 100;
-scarlet/testing/settings.py:1-2):
+Three measurements at the reference's regression-harness setting (adaprox,
+e_rel=1e-4, cap 100; scarlet/testing/settings.py:1-2):
 
-1. steady-state: one initialized blend replicated into a 512-blend batch,
-   timed on the compiled fit alone (device throughput ceiling);
+1. steady-state: one initialized blend replicated into a batch, timed on
+   the compiled fit alone (device throughput ceiling);
 2. end-to-end: 256 *distinct* blends (dihedral transforms + fresh noise
-   draws of the real data), timed from raw pixel stacks through the
-   device stream path (parallel.stream): batched on-device
-   initialization, the batched fit, and per-source flux measurement as
-   three compiled programs — the production "stream of different blends"
-   number that replaces the reference's serial per-blend loop
-   (testing/api.py:216-226).
+   draws of the real hsc_cosmos_35), timed from raw pixel stacks through
+   the device stream path (parallel.stream): one bulk async upload,
+   batched on-device initialization, the batched fit, and per-source flux
+   measurement — the production "stream of different blends" number that
+   replaces the reference's serial per-blend loop (testing/api.py:216-226);
+3. end-to-end heterogeneous: 256 generated blends with different source
+   counts (3-10), positions, sizes, and per-band seeing
+   (testing/blendsets.py), through the same stream path; reports slot
+   overflow and padding-waste rates alongside throughput.
+
+End-to-end timings are the median of 3 repeats (spread reported).
 
 Prints ONE JSON line:
   {"metric": ..., "value": blends/min, "unit": ..., "vs_baseline": ...,
-   "end_to_end": {...}}
+   "end_to_end": {...}, "end_to_end_heterogeneous": {...}}
 vs_baseline is measured against the BASELINE.json north star of 1000 HSC
 5-band blends/min on a single chip (the reference publishes no absolute CPU
 numbers — BASELINE.md).
@@ -29,7 +33,10 @@ import numpy as np
 
 MAX_ITER = 100
 BATCH = 512
+STEADY_BATCH = 128   # fastest per-blend batch (BASELINE.md r3 sweep)
 N_E2E = 256
+N_HET = 256
+HET_SLOTS = 12
 
 
 def load_data():
@@ -90,10 +97,42 @@ def make_variants(d, n, seed=0):
     return out
 
 
+def make_heterogeneous(n, seed=42):
+    """n generated blends with varying source counts/positions/sizes and
+    per-band seeing (testing/blendsets.py), packed to one center layout."""
+    from scarlet_tpu.testing.blendsets import generate_blend
+
+    rng = np.random.default_rng(seed)
+    blends = [generate_blend(rng) for _ in range(n)]
+    images = np.stack([b["images"] for b in blends])
+    variance = np.stack([np.ascontiguousarray(b["variance"])
+                         for b in blends])
+    psfs = np.stack([b["psfs"] for b in blends])
+    K = max(len(b["catalog"]) for b in blends)
+    centers = np.zeros((n, K, 2), np.int32)
+    active = np.zeros((n, K), bool)
+    for i, b in enumerate(blends):
+        cat = b["catalog"]
+        k = len(cat)
+        centers[i, :k, 0] = np.round(cat["y"]).astype(np.int32)
+        centers[i, :k, 1] = np.round(cat["x"]).astype(np.int32)
+        active[i, :k] = True
+    return images, variance, psfs, centers, active
+
+
 def _stamp(t0, msg):
     import sys
     print(f"[bench {time.perf_counter()-t0:7.1f}s] {msg}", file=sys.stderr,
           flush=True)
+
+
+def _median_timed(fn, n=3):
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append(time.perf_counter() - t0)
+    return out, sorted(times)[n // 2], times
 
 
 def main():
@@ -122,7 +161,7 @@ def main():
                             d["centers"])
         config, data, state = blend.engine_setup(e_rel=1e-4,
                                                  platform=fit_platform)
-    bdata, bstate = parallel.replicate_blend(data, state, BATCH)
+    bdata, bstate = parallel.replicate_blend(data, state, STEADY_BATCH)
 
     def run():
         # converged early-exit evaluated on device every 25 iterations
@@ -142,20 +181,20 @@ def main():
     t0 = time.perf_counter()
     out_state, losses, _ = run()
     steady_s = time.perf_counter() - t0
-    steady_bpm = BATCH / steady_s * 60.0
+    steady_bpm = STEADY_BATCH / steady_s * 60.0
     _stamp(t00, f"steady-state timed: {steady_s:.2f}s")
     try:
         final_logL = float(jnp.median(losses[-1]))
     except Exception:
         final_logL = float("nan")
     n_ran = int(losses.shape[0])
-    # release the 512-batch steady-state buffers before the end-to-end
-    # section (HBM pressure there costs ~25% of its throughput)
+    # release the steady-state buffers before the end-to-end section
+    # (HBM pressure there costs throughput)
     del out_state, losses, bdata, bstate
 
     # ---- end-to-end: distinct blends through the DEVICE stream path
-    # (batched init + fit + measurement as three compiled programs; no
-    # per-blend host work — parallel.stream) ----
+    # (bulk upload + batched init + fit + measurement; no per-blend host
+    # work — parallel.stream) ----
     variants = make_variants(d, N_E2E)
     e2e_images = np.stack([v[0] for v in variants])
     e2e_var = np.stack([v[1] for v in variants])
@@ -164,8 +203,8 @@ def main():
     model_psf = _model_psf()
 
     def run_e2e():
-        # chunk=128 pipelines the host->device pixel upload + init of each
-        # chunk behind the previous chunk's fit (async dispatch)
+        # chunk=128 pipelines the init of each chunk behind the previous
+        # chunk's fit; the raw stacks bulk-upload in one async transfer
         return parallel.deblend_device_stream(
             e2e_images, e2e_var, e2e_psfs, e2e_centers, model_psf,
             box_size=59, n_slots=10, max_iter=MAX_ITER, check_every=25,
@@ -174,28 +213,66 @@ def main():
     run_e2e()   # warmup: compiles init + fit + records programs
     _stamp(t00, "end-to-end warmup done")
 
-    t0 = time.perf_counter()
-    records, _, e2e_losses, _ = run_e2e()
-    e2e_s = time.perf_counter() - t0
+    (records, _, e2e_losses, _), e2e_s, e2e_times = _median_timed(run_e2e)
     e2e_bpm = N_E2E / e2e_s * 60.0
-    timings = {"iters_ran": int(max(r["iterations"] for r in records))}
-    _stamp(t00, "end-to-end timed run done")
+    _stamp(t00, f"end-to-end timed: {[f'{x:.2f}' for x in e2e_times]}")
+
+    e2e_result = {
+        "blends_per_min": round(e2e_bpm, 1),
+        "n_distinct_blends": N_E2E,
+        "path": "device stream (bulk upload + batched init + fit + "
+                "measure)",
+        "median_of": len(e2e_times),
+        "spread_s": [round(x, 3) for x in sorted(e2e_times)],
+        "median_iterations": int(sorted(
+            r["iterations"] for r in records)[N_E2E // 2]),
+        "iters_ran": int(max(r["iterations"] for r in records)),
+    }
+    del records, e2e_losses
+
+    # ---- end-to-end heterogeneous: different K/positions/sizes/seeing --
+    het = make_heterogeneous(N_HET)
+    het_images, het_var, het_psfs, het_centers, het_active = het
+
+    def run_het():
+        return parallel.deblend_device_stream(
+            het_images, het_var, het_psfs, het_centers, model_psf,
+            center_active=het_active, box_size=59, n_slots=HET_SLOTS,
+            max_iter=MAX_ITER, check_every=25, chunk=128)
+
+    run_het()
+    _stamp(t00, "heterogeneous warmup done")
+    (hrecords, _, _, haux), het_s, het_times = _median_timed(run_het)
+    het_bpm = N_HET / het_s * 60.0
+    _stamp(t00, f"heterogeneous timed: {[f'{x:.2f}' for x in het_times]}")
+
+    aux_list = haux if isinstance(haux, list) else [haux]
+    n_active = np.concatenate([np.asarray(a["n_active"]) for a in aux_list])
+    overflow = np.concatenate([np.asarray(a["overflow"]) for a in aux_list])
+    het_result = {
+        "blends_per_min": round(het_bpm, 1),
+        "n_distinct_blends": N_HET,
+        "n_slots": HET_SLOTS,
+        "median_of": len(het_times),
+        "spread_s": [round(x, 3) for x in sorted(het_times)],
+        "mean_components": round(float(n_active.mean()), 2),
+        "slot_overflow_rate": round(float(overflow.mean()), 4),
+        "padding_waste": round(
+            1.0 - float(np.minimum(n_active, HET_SLOTS).mean()) / HET_SLOTS,
+            4),
+        "median_iterations": int(sorted(
+            r["iterations"] for r in hrecords)[N_HET // 2]),
+    }
 
     result = {
         "metric": "HSC 5-band blends deblended/min (adaprox fit to "
                   f"e_rel=1e-4, cap {MAX_ITER}, ran {n_ran} iters, "
-                  f"batch={BATCH}, final_logL={final_logL:.1f})",
+                  f"batch={STEADY_BATCH}, final_logL={final_logL:.1f})",
         "value": round(steady_bpm, 1),
         "unit": "blends/min",
         "vs_baseline": round(steady_bpm / 1000.0, 3),
-        "end_to_end": {
-            "blends_per_min": round(e2e_bpm, 1),
-            "n_distinct_blends": N_E2E,
-            "path": "device stream (batched init + fit + measure)",
-            "median_iterations": int(sorted(
-                r["iterations"] for r in records)[N_E2E // 2]),
-            **timings,
-        },
+        "end_to_end": e2e_result,
+        "end_to_end_heterogeneous": het_result,
     }
     print(json.dumps(result))
 

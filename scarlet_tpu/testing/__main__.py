@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--plots", action="store_true",
                    help="render the dashboard after the run")
     p.add_argument("--no-save", action="store_true")
+    p.add_argument("--baseline", action="store_true",
+                   help="also write each set's records as the committed "
+                        "baseline (scarlet_tpu/testing/baselines/"
+                        "set<id>.json)")
     args = p.parse_args(argv)
 
     from .api import deblend_and_measure
@@ -46,6 +50,19 @@ def main(argv=None):
             "median_iterations": int(sorted(iters)[len(iters) // 2])
             if iters else None,
         }))
+
+    if args.baseline:
+        import pathlib
+        import time
+
+        base_dir = pathlib.Path(__file__).parent / "baselines"
+        base_dir.mkdir(exist_ok=True)
+        for set_id, records in results.items():
+            out = base_dir / f"set{set_id}.json"
+            out.write_text(json.dumps(
+                [{"timestamp": time.time(), "records": records}],
+                indent=1, default=float))
+            print(out)
 
     if args.plots:
         from .plots import render_dashboard

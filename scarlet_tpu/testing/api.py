@@ -25,14 +25,16 @@ __all__ = ["bundled_blends", "deblend_and_measure",
 _DATA_DIR = pathlib.Path("/root/reference/data")
 
 # blend "sets": 1 = real HSC blend, 2 = matched-PSF sim, 3 = unmatched sim;
-# 4/5 = generated synthetic sets (reference set sizes: 100/50/14,
-# docs/regression.rst:4-12)
+# 4/5/6 = generated synthetic sets at the reference's curated-set scale
+# (100 well-modeled / 50 random / 14 hard, docs/regression.rst:4-12:
+# set 6 is the 100-blend well-modeled analog, set 4 the 50 random, set 5
+# the 14 hard)
 _BUNDLED = {
     1: ["hsc_cosmos_35.npz"],
     2: ["psf_matched_sim.npz"],
     3: ["psf_unmatched_sim.npz"],
 }
-_GENERATED = {4: 50, 5: 14}
+_GENERATED = {4: 50, 5: 14, 6: 100}
 
 
 def bundled_blends(set_id, root=None):

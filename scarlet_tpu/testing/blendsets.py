@@ -131,7 +131,19 @@ def generate_blend(rng, shape=(5, 58, 48), n_sources=None, min_sep=5.0,
     }
 
 
-def generate_blend_set(set_id=4, n=50, seed=None, root=None, shape=(5, 58, 48)):
+# per-set generation character, mirroring the reference's curated sets
+# (docs/regression.rst:4-12): set 6 = 100 "well-modeled" blends (the set-1
+# analog: fewer, better-separated, cleaner sources), set 4 = 50 random
+# blends, set 5 = 14 hard crowded blends
+_SET_PARAMS = {
+    4: {},
+    5: {"min_sep": 4.0, "noise_sigma": 0.12},
+    6: {"n_range": (2, 7), "min_sep": 8.0, "noise_sigma": 0.08},
+}
+
+
+def generate_blend_set(set_id=4, n=50, seed=None, root=None,
+                       shape=(5, 58, 48)):
     """Write ``n`` deterministic synthetic blends as npz files under
     ``<root>/sets/set<set_id>/`` and return their paths (cached: existing
     complete sets are reused)."""
@@ -144,6 +156,11 @@ def generate_blend_set(set_id=4, n=50, seed=None, root=None, shape=(5, 58, 48)):
     if seed is None:
         seed = 1000 + set_id
     rng = np.random.default_rng(seed)
+    params = dict(_SET_PARAMS.get(set_id, {}))
+    n_range = params.pop("n_range", None)
     for p in paths:
-        np.savez_compressed(p, **generate_blend(rng, shape=shape))
+        n_sources = (int(rng.integers(*n_range)) if n_range else None)
+        np.savez_compressed(
+            p, **generate_blend(rng, shape=shape, n_sources=n_sources,
+                                **params))
     return paths

@@ -3,6 +3,8 @@ simulated blend, the acceptance gate of SURVEY.md §7.3."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import scarlet_tpu as st
 from scarlet_tpu import lite
 

@@ -3,6 +3,8 @@ simulated blend (the scarlet-main pipeline, SURVEY.md §3.3)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import scarlet_tpu as st
 
 

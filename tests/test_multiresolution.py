@@ -14,6 +14,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import scarlet_tpu as st
 from scarlet_tpu.utils import make_tan_wcs
 from scarlet_tpu.utils.fits import read_fits, read_pickled_wcs

@@ -3,6 +3,8 @@ equal single-blend results, and the sharded path must run on a virtual
 8-device mesh (SURVEY.md §4.5)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 
 import scarlet_tpu as st

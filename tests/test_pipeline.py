@@ -4,6 +4,10 @@ import numpy as np
 
 from scarlet_tpu import parallel
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _blobs(n=4):
     data = np.load("/root/reference/data/hsc_cosmos_35.npz",

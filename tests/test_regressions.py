@@ -4,6 +4,10 @@ import numpy as np
 
 from scarlet_tpu import testing as harness
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_deblend_and_measure(tmp_path):
     results = harness.deblend_and_measure(

@@ -3,6 +3,8 @@ init must reproduce the host initialization recipe
 (lite/initialization.py:321-419 semantics) and feed the same fit."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import jax
 
 from scarlet_tpu import lite, parallel

@@ -7,6 +7,8 @@ by 5 pixels, SNR-gated component count, PSF fallback.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from scarlet_tpu import lite
 from scarlet_tpu.bbox import Box
 from scarlet_tpu.detect import get_detect_wavelets
