@@ -529,6 +529,40 @@ def fit_step(state, data, config):
             sb, sopt = jax.vmap(update_sed)(
                 seds_b, g_seds, state.sed_opt[b], on_b)
 
+            if (config.use_pallas and config.scheme == "amsgrad"
+                    and config.max_prox_iter <= 1
+                    and config.band_axis is None):
+                # fused VMEM pass: amsgrad moments + damped step + the
+                # whole morphology prox chain in one kernel (the
+                # background-threshold cut expressed as the per-slot
+                # pixel cutoff min_c t_c/sed_c; 0 == positivity clamp)
+                from ..ops.pallas_kernels import fused_morph_update
+
+                if config.bg_thresh is None:
+                    thr = jnp.zeros((sb.shape[0],), morphs_b.dtype)
+                else:
+                    t_c = config.bg_thresh * data.bg_rms
+                    thr = jnp.min(
+                        t_c[None, :] / jnp.maximum(sb, config.floor),
+                        axis=1)
+                damp_step = jnp.where(it > 0, 1.0, 0.1) * config.morph_step
+                if data.box_masks is not None:
+                    bmasks = data.box_masks[b]
+                else:
+                    bmasks = jnp.ones_like(morphs_b)
+                mb, mopt = fused_morph_update(
+                    morphs_b, g_morphs, state.morph_opt[b], active & on_b,
+                    data.mono_weights[b], data.mono_keep[b], bmasks,
+                    thr, damp_step, config.mono_n_iters[b],
+                    config.min_gradient, config.fit_center_radius,
+                    config.b1, config.b2, config.eps, config.floor,
+                    interpret=config.pallas_interpret)
+                new_seds.append(sb)
+                new_sed_opts.append(sopt)
+                new_morphs.append(mb)
+                new_morph_opts.append(mopt)
+                continue
+
             # morphology: constant step; prox chain applied with the *new*
             # SED (lite/models.py:246-252), batched over the bucket
             def update_morph(morph, g, opt):

@@ -22,7 +22,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .prox import NEIGHBOR_OFFSETS
 
-__all__ = ["batched_monotonic_prox", "scene_assembly", "grad_gather"]
+__all__ = ["batched_monotonic_prox", "fused_morph_update",
+           "scene_assembly", "grad_gather"]
 
 
 def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
@@ -171,6 +172,218 @@ def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
     out = out.reshape(n_groups, Hb, group, Wb)
     out = jnp.swapaxes(out, 1, 2).reshape(K_pad, Hb, Wb)
     return out[:K]
+
+
+# ---------------------------------------------------------------------------
+# Fused adaprox morphology update (moments + step + prox chain, one pass)
+# ---------------------------------------------------------------------------
+def _fused_morph_kernel(x_ref, g_ref, m_ref, v_ref, vh_ref, bm_ref, thr_ref,
+                        gate_ref, wtab_ref, keep_ref, sc_ref,
+                        xo_ref, mo_ref, vo_ref, vho_ref,
+                        wsel_ref, keepsel_ref, *,
+                        n_iter, scale, group, Wb, bc, r, b1, b2, eps,
+                        floor):
+    """Per lane-packed group: amsgrad moment update -> damped step ->
+    box-mask confinement -> candidate-center argmax -> monotonicity fixed
+    point -> threshold cut -> center floor -> max normalization, all
+    VMEM-resident.  One HBM read of (x, g, m, v, vhat, masks) and one
+    write of (x', m', v', vhat') per morphology per iteration, replacing
+    the separate XLA optimizer pass + the mono kernel + the XLA prox-chain
+    ops.
+
+    ``thr_ref``/``gate_ref`` are (1, group*Wb) per-slot rows (threshold
+    value and 0/1 activity, replicated across each slot's lane block);
+    ``sc_ref`` is a (1, 1) SMEM scalar holding damp*step (damped 10x at
+    it == 0, optim.adaprox_step:147).
+    """
+    Hb = x_ref.shape[-2]
+    x = x_ref[0]
+    g = g_ref[0]
+    ds = sc_ref[0, 0]
+
+    # amsgrad moments (optim.phi_psi:94-98)
+    m2 = (1.0 - b1) * g + b1 * m_ref[0]
+    v2 = (1.0 - b2) * (g * g) + b2 * v_ref[0]
+    vh2 = jnp.maximum(vh_ref[0], v2)
+    x1 = (x - ds * m2 / (jnp.sqrt(vh2) + eps)) * bm_ref[0]
+
+    # candidate-center selection (engine._prox_morph_bucket:377-382) and
+    # per-slot weight-table gather, from the stepped+masked morphs; the
+    # argmax unrolls to scalar compares (first max wins, like jnp.argmax)
+    wsel_ref[...] = jnp.zeros(wsel_ref.shape, wsel_ref.dtype)
+    for gslot in range(group):
+        c0 = gslot * Wb
+        ci = jnp.asarray(0, jnp.int32)
+        bv = x1[bc[0] - r, c0 + bc[1] - r]
+        t = 0
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                if t > 0:
+                    val = x1[bc[0] + dy, c0 + bc[1] + dx]
+                    take = val > bv
+                    ci = jnp.where(take, t, ci)
+                    bv = jnp.where(take, val, bv)
+                t += 1
+        for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            lo, hi = max(0, dx), Wb + min(0, dx)
+            wsel_ref[d, :, c0 + lo:c0 + hi] = \
+                wtab_ref[ci, d][:, lo - dx:hi - dx]
+        keepsel_ref[:, c0:c0 + Wb] = keep_ref[ci]
+
+    w = wsel_ref[:]
+    keep_b = keepsel_ref[:] > 0.5
+    gW = group * Wb
+
+    def step(xx):
+        rows = {
+            -1: pltpu.roll(xx, 1, 0),
+            0: xx,
+            1: pltpu.roll(xx, Hb - 1, 0),
+        }
+        cols = {-1: None, 0: None, 1: None}
+        for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            t = w[d] * rows[dy]
+            cols[dx] = t if cols[dx] is None else cols[dx] + t
+        ref = (cols[0]
+               + pltpu.roll(cols[-1], 1, 1)
+               + pltpu.roll(cols[1], gW - 1, 1))
+        if scale != 1.0:
+            ref = ref * scale
+        new = jnp.minimum(x1, ref)
+        return jnp.where(keep_b, x1, new)
+
+    UNROLL = 4
+
+    def cond(carry):
+        t, _, changed = carry
+        return changed & (t < n_iter)
+
+    def body(carry):
+        t, xx, _ = carry
+        for _ in range(UNROLL - 1):
+            xx = step(xx)
+        new = step(xx)
+        return t + UNROLL, new, jnp.any(new != xx)
+
+    _, out, _ = jax.lax.while_loop(cond, body, (0, x1, True))
+
+    # background threshold / positivity (engine._prox_morph_bucket:405-413;
+    # thr row is 0 for the bg_thresh=None clamp, min_c t_c/sed_c otherwise)
+    thr = thr_ref[0]
+    out = jnp.where(out < thr, jnp.zeros_like(out), out)
+
+    # center floor + per-slot max normalization (engine:415-417)
+    gate = gate_ref[0] > 0.5
+    for gslot in range(group):
+        c0 = gslot * Wb
+        cy, cx = bc[0], c0 + bc[1]
+        out = out.at[cy, cx].set(jnp.maximum(out[cy, cx], floor))
+        blk = out[:, c0:c0 + Wb]
+        out = out.at[:, c0:c0 + Wb].set(blk / jnp.max(blk))
+
+    xo_ref[0] = jnp.where(gate, out, x)
+    mo_ref[0] = jnp.where(gate, m2, m_ref[0])
+    vo_ref[0] = jnp.where(gate, v2, v_ref[0])
+    vho_ref[0] = jnp.where(gate, vh2, vh_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_iter", "min_gradient", "fit_center_radius", "b1", "b2", "eps",
+    "floor", "interpret", "group"))
+def fused_morph_update(morphs, grads, opt, gate, weights_table, keep_table,
+                       box_masks, thr, damp_step, n_iter, min_gradient=0.0,
+                       fit_center_radius=1, b1=0.9, b2=0.999, eps=1e-8,
+                       floor=1e-20, interpret=False, group=None):
+    """Fused adaprox morphology update for one bucket's (K, Hb, Wb) stack.
+
+    Equivalent to the engine's sequence
+    ``adaprox_step(prox=None)`` -> ``_prox_morph_bucket`` -> activity
+    gating, with the background threshold expressed as the per-slot pixel
+    cutoff ``thr_k = min_c bg_thresh*bg_rms_c/sed_kc`` (0 for the
+    positivity clamp) — one VMEM-resident pass.
+
+    Parameters beyond :func:`batched_monotonic_prox`:
+    grads, opt : the morphology gradients and AdaproxState (m, v, vhat)
+    gate : (K,) bool — slots whose update applies (active & comp_active)
+    thr : (K,) float — per-slot threshold cut value
+    damp_step : traced scalar — step * (0.1 at it==0 else 1)
+
+    Returns (new_morphs, new AdaproxState).
+    """
+    K, Hb, Wb = morphs.shape
+    if group is None:
+        group = K if K * Wb <= 4096 else 8
+    group = max(1, min(group, K))
+    K_pad = -(-K // group) * group
+
+    def pad_k(x, fill=0):
+        if K_pad == K:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((K_pad - K,) + x.shape[1:], fill, x.dtype)])
+
+    def pack(x):
+        p = pad_k(x).reshape(K_pad // group, group, Hb, Wb)
+        return jnp.swapaxes(p, 1, 2).reshape(-1, Hb, group * Wb)
+
+    def unpack(x):
+        u = x.reshape(-1, Hb, group, Wb)
+        return jnp.swapaxes(u, 1, 2).reshape(K_pad, Hb, Wb)[:K]
+
+    n_groups = K_pad // group
+    dtype = morphs.dtype
+    # per-slot rows replicated across each slot's lane block
+    thr_row = jnp.repeat(pad_k(thr.astype(dtype)), Wb).reshape(
+        n_groups, 1, group * Wb)
+    gate_row = jnp.repeat(pad_k(gate.astype(dtype)), Wb).reshape(
+        n_groups, 1, group * Wb)
+    sc = jnp.asarray(damp_step, dtype).reshape(1, 1)
+
+    bc = (Hb // 2, Wb // 2)
+    kernel = functools.partial(
+        _fused_morph_kernel, n_iter=n_iter, scale=1.0 - min_gradient,
+        group=group, Wb=Wb, bc=bc, r=int(fit_center_radius), b1=b1, b2=b2,
+        eps=eps, floor=floor)
+
+    block = pl.BlockSpec((1, Hb, group * Wb), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, 1, group * Wb), lambda k: (k, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_groups,),
+        in_specs=[
+            block,                                    # x
+            block,                                    # g
+            block,                                    # m
+            block,                                    # v
+            block,                                    # vhat
+            block,                                    # box mask
+            row_block,                                # thr row
+            row_block,                                # gate row
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # weights table
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # keep table
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # damp*step scalar
+        ],
+        out_specs=[block, block, block, block],
+        scratch_shapes=[
+            pltpu.VMEM((8, Hb, group * Wb), dtype),
+            pltpu.VMEM((Hb, group * Wb), dtype),
+        ],
+    )
+    xo, mo, vo, vho = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((n_groups, Hb, group * Wb), dtype)
+                   for _ in range(4)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pack(morphs), pack(grads), pack(opt.m), pack(opt.v), pack(opt.vhat),
+      pack(box_masks), thr_row, gate_row, weights_table, keep_table, sc)
+
+    from ..optim import AdaproxState
+
+    return unpack(xo), AdaproxState(m=unpack(mo), v=unpack(vo),
+                                    vhat=unpack(vho))
 
 
 # ---------------------------------------------------------------------------

@@ -124,3 +124,68 @@ def test_engine_pallas_scene_interpret_matches_xla():
     assert_allclose(np.asarray(loss_p), np.asarray(loss_x), rtol=1e-5)
     assert_allclose(np.asarray(out_p.morphs), np.asarray(out_x.morphs),
                     rtol=1e-5, atol=1e-6)
+
+
+def test_fused_morph_update_matches_reference():
+    """The fused adaprox+prox kernel == the explicit sequence: amsgrad
+    moment update, damped step, box-mask confinement, candidate-center
+    monotonicity, threshold cut, center floor, max normalization, activity
+    gating."""
+    from scarlet_tpu.optim import AdaproxState
+    from scarlet_tpu.ops.pallas_kernels import fused_morph_update
+
+    rng = np.random.RandomState(11)
+    box = (21, 21)
+    K = 6
+    b1, b2, eps, floor = 0.9, 0.999, 1e-8, 1e-20
+    weights, keeps, n_iter = engine.monotonicity_tables(
+        box, fit_center_radius=1, neighbor_weight="angle")
+    weights = weights.astype(np.float32)
+    keeps = keeps.astype(np.float32)
+
+    morphs = rng.rand(K, *box).astype(np.float32)
+    morphs[:, 10, 10] += 1.0
+    grads = rng.randn(K, *box).astype(np.float32) * 0.1
+    opt = AdaproxState(
+        m=jnp.asarray(rng.randn(K, *box).astype(np.float32) * 0.05),
+        v=jnp.asarray(rng.rand(K, *box).astype(np.float32) * 0.01),
+        vhat=jnp.asarray(rng.rand(K, *box).astype(np.float32) * 0.01))
+    gate = np.array([True, True, False, True, True, False])
+    bmask = np.ones((K, *box), np.float32)
+    bmask[1, :, :4] = 0.0
+    thr = np.array([0.0, 0.02, 0.0, 0.05, 0.0, 0.0], np.float32)
+
+    for it, damp in ((0, 0.1), (3, 1.0)):
+        step = 1e-2 * damp
+        got_x, got_opt = fused_morph_update(
+            jnp.asarray(morphs), jnp.asarray(grads), opt,
+            jnp.asarray(gate), jnp.asarray(weights), jnp.asarray(keeps),
+            jnp.asarray(bmask), jnp.asarray(thr), jnp.asarray(step),
+            n_iter, 0.0, 1, b1, b2, eps, floor, interpret=True)
+
+        # explicit reference
+        m2 = (1 - b1) * grads + b1 * np.asarray(opt.m)
+        v2 = (1 - b2) * grads ** 2 + b2 * np.asarray(opt.v)
+        vh2 = np.maximum(np.asarray(opt.vhat), v2)
+        x1 = (morphs - step * m2 / (np.sqrt(vh2) + eps)) * bmask
+        # candidate centers from the 3x3 window
+        win = x1[:, 9:12, 9:12].reshape(K, -1)
+        idx = np.argmax(win, axis=1).astype(np.int32)
+        proxed = np.asarray(batched_monotonic_prox(
+            jnp.asarray(x1), jnp.asarray(idx), jnp.asarray(weights),
+            jnp.asarray(keeps), n_iter, 0.0, interpret=True))
+        proxed = np.where(proxed < thr[:, None, None], 0.0, proxed)
+        proxed[:, 10, 10] = np.maximum(proxed[:, 10, 10], floor)
+        proxed = proxed / proxed.max(axis=(1, 2), keepdims=True)
+
+        g3 = gate[:, None, None]
+        assert_allclose(np.asarray(got_x), np.where(g3, proxed, morphs),
+                        rtol=1e-6, atol=1e-7)
+        # moments compare with an absolute floor: near-zero elements of
+        # (1-b1)g + b1*m cancel catastrophically in f32
+        assert_allclose(np.asarray(got_opt.m), np.where(g3, m2, opt.m),
+                        rtol=1e-5, atol=1e-6)
+        assert_allclose(np.asarray(got_opt.v), np.where(g3, v2, opt.v),
+                        rtol=1e-5, atol=1e-9)
+        assert_allclose(np.asarray(got_opt.vhat), np.where(g3, vh2, opt.vhat),
+                        rtol=1e-5, atol=1e-9)
