@@ -82,18 +82,24 @@ class TestBatchedPipeline:
         assert "index.html" in names
         assert any(p.suffix == ".png" for p in written)
 
-    def test_committed_baseline_is_current_format(self):
-        """The committed set-4 baseline parses and carries the metric set."""
+    def test_committed_baselines_are_current_format(self):
+        """The committed baselines for every generated set parse, carry
+        the metric set, and cover the reference's curated-set scale
+        (100 well-modeled / 50 random / 14 hard; docs/regression.rst:4-12
+        analog = sets 6/4/5 totaling 164 blends)."""
         import pathlib
 
-        path = pathlib.Path(testing.__file__).parent / "baselines/set4.json"
-        runs = json.loads(path.read_text())
-        records = runs[-1]["records"]
-        assert len(records) == 50
-        for key in ("logL", "iterations", "init logL", "n_sources"):
-            assert key in records[0]
-        med = sorted(r["logL"] for r in records)[25]
-        assert np.isfinite(med)
+        sizes = {4: 50, 5: 14, 6: 100}
+        for set_id, n in sizes.items():
+            path = (pathlib.Path(testing.__file__).parent
+                    / f"baselines/set{set_id}.json")
+            runs = json.loads(path.read_text())
+            records = runs[-1]["records"]
+            assert len(records) == n, (set_id, len(records))
+            for key in ("logL", "iterations", "init logL", "n_sources"):
+                assert key in records[0]
+            med = sorted(r["logL"] for r in records)[n // 2]
+            assert np.isfinite(med)
 
 
 class TestStreamPipeline:
