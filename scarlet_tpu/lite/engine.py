@@ -92,6 +92,7 @@ class LiteFitConfig:
     neighbor_weight: str = "angle"
     use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
     use_pallas_scene: bool = False  # VMEM scene assembly + grad gather (TPU)
+    fuse_morph: bool = False      # fused adaprox+prox morphology kernel
     conv_mode: str = "fft"        # "fft" (XLA FFT) | "dft" (folded matmul-
     # DFT on the MXU — ~1.5x faster on TPU at the fit's small centered
     # shapes, exact to f32 roundoff; see ops/fft.dft_conv_matrices)
@@ -529,7 +530,8 @@ def fit_step(state, data, config):
             sb, sopt = jax.vmap(update_sed)(
                 seds_b, g_seds, state.sed_opt[b], on_b)
 
-            if (config.use_pallas and config.scheme == "amsgrad"
+            if (config.use_pallas and config.fuse_morph
+                    and config.scheme == "amsgrad"
                     and config.max_prox_iter <= 1
                     and config.band_axis is None):
                 # fused VMEM pass: amsgrad moments + damped step + the

@@ -45,7 +45,7 @@ def test_engine_pallas_interpret_matches_xla():
     config, data, state = g._demo_setup()
     out_x, loss_x = engine.fit_scan(state, data, config, 5)
     config_p = dataclasses.replace(config, use_pallas=True,
-                                   pallas_interpret=True)
+                                   fuse_morph=True, pallas_interpret=True)
     out_p, loss_p = engine.fit_scan(state, data, config_p, 5)
     assert_allclose(np.asarray(loss_p), np.asarray(loss_x), rtol=1e-5)
     assert_allclose(np.asarray(out_p.morphs), np.asarray(out_x.morphs),
