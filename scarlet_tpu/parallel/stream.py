@@ -714,7 +714,7 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
                           scene_valid=None, *, box_size,
                           n_slots, max_iter=100, check_every=25,
                           min_snr=50, e_rel=1e-4, reweight=False,
-                          chunk=None, **kw):
+                          chunk=None, compact=None, **kw):
     """One-call production path: device init + device fit + records.
 
     The entire stream batch runs as three compiled programs with no
@@ -731,8 +731,18 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     bandwidth on a tunneled TPU (measured: 17 vs 680 MB/s), which costs
     ~35% of end-to-end throughput if the upload is interleaved per chunk.
 
-    Returns (records, state, losses, aux); with ``chunk`` set, state/
-    losses/aux are per-chunk lists."""
+    ``compact`` (iterations, ideally a ``check_every`` multiple) turns on
+    convergence compaction: chunks run to ``compact`` first, then ONLY the
+    still-unconverged blends — gathered across all chunks into one small
+    padded residual batch — continue to ``max_iter``.  Converged blends
+    freeze but still cost compute inside a batch, so without compaction a
+    single straggler forces its whole chunk to the cap; with it the cap
+    tail is paid only for the stragglers.  Worthwhile when most blends
+    converge early (e.g. the generated regression sets: median 28 its).
+
+    Returns (records, state, losses, aux); with ``chunk`` set (and no
+    ``compact``), state/losses/aux are per-chunk lists; with ``compact``
+    they are merged across chunks."""
     from .batch import (fit_batch_device_dispatch,
                         fit_batch_device_collect)
 
@@ -756,6 +766,7 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     def sub(x, sl):
         return None if x is None else x[sl]
 
+    phase1 = max_iter if not compact else min(int(compact), max_iter)
     handles = []
     for sl in spans:
         config, data, state, aux = stream_setup(
@@ -765,8 +776,12 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
             scene_valid=sub(scene_valid, sl), box_size=box_size,
             n_slots=n_slots, min_snr=min_snr, e_rel=e_rel, **kw)
         handle = fit_batch_device_dispatch(
-            state, data, config, max_iter, check_every=check_every)
+            state, data, config, phase1, check_every=check_every)
         handles.append((handle, data, config, aux))
+
+    if compact and phase1 < max_iter:
+        return _collect_compacted(handles, phase1, max_iter, check_every,
+                                  reweight)
 
     records, outs, losses_l, auxs = [], [], [], []
     for handle, data, config, aux in handles:
@@ -779,3 +794,82 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     if len(spans) == 1:
         return records, outs[0], losses_l[0], auxs[0]
     return records, outs, losses_l, auxs
+
+
+def _concat_trees(trees):
+    return jax.tree.map(
+        lambda *xs: None if xs[0] is None else jnp.concatenate(xs, 0),
+        *trees, is_leaf=lambda x: x is None)
+
+
+def _concat_data(datas):
+    """Concatenate batched BlendData leaves; shared (config-determined)
+    monotonicity tables come from the first chunk."""
+    from .batch import _SHARED_FIELDS
+
+    stacked = _concat_trees([
+        d._replace(**{name: None for name in _SHARED_FIELDS})
+        for d in datas
+    ])
+    return stacked._replace(**{
+        name: getattr(datas[0], name) for name in _SHARED_FIELDS
+    })
+
+
+def _collect_compacted(handles, phase1, max_iter, check_every, reweight):
+    """Convergence compaction: after ``phase1`` iterations, gather the
+    still-active blends from ALL chunks into one small residual batch and
+    run only those to ``max_iter``.
+
+    Converged blends freeze through the ``active`` mask but still COST
+    compute inside a while-program batch, so a single straggler forces
+    its whole chunk to the cap; compaction pays that tail only for the
+    stragglers (padded up to a bucket of 32 so residual batch sizes hit a
+    handful of compiled programs).
+    """
+    from .batch import (_SHARED_FIELDS, fit_batch_device_collect,
+                        fit_batch_device_converged)
+
+    outs, datas, auxs, losses_l = [], [], [], []
+    config = handles[0][2]
+    for handle, data, cfg, aux in handles:
+        out, losses = fit_batch_device_collect(handle, phase1)
+        outs.append(out)
+        datas.append(data)
+        auxs.append(aux)
+        losses_l.append(losses)
+
+    state = _concat_trees(outs)
+    data = _concat_data(datas)
+    aux = _concat_trees(auxs)
+    n_rows = max(l.shape[0] for l in losses_l)
+    losses = jnp.concatenate([
+        jnp.pad(l, ((0, n_rows - l.shape[0]), (0, 0))) for l in losses_l
+    ], axis=1)
+
+    active = np.asarray(state.active)
+    idx = np.nonzero(active)[0]
+    if idx.size:
+        n_res = -(-idx.size // 32) * 32          # pad to a 32-bucket
+        idx_pad = np.concatenate(
+            [idx, np.full(n_res - idx.size, idx[0], idx.dtype)])
+        take = lambda x: (None if x is None  # noqa: E731
+                          else jnp.take(x, idx_pad, axis=0))
+        res_state = jax.tree.map(take, state)
+        res_data = jax.tree.map(
+            take, data._replace(**{n: None for n in _SHARED_FIELDS}),
+            is_leaf=lambda x: x is None)._replace(
+            **{n: getattr(data, n) for n in _SHARED_FIELDS})
+        # padding rows are duplicates of a real blend: freeze them
+        pad_off = jnp.arange(n_res) < idx.size
+        res_state = res_state._replace(active=res_state.active & pad_off)
+        res_out, _ = fit_batch_device_converged(
+            res_state, res_data, config, max_iter - phase1,
+            check_every=check_every)
+        put = lambda x, r: x.at[jnp.asarray(idx)].set(  # noqa: E731
+            r[:idx.size])
+        state = jax.tree.map(put, state, res_out)
+
+    records = stream_records(state, losses, aux, data=data, config=config,
+                             reweight=reweight)
+    return records, state, losses, aux

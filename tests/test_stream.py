@@ -261,6 +261,38 @@ class TestStreamInit:
             np.testing.assert_allclose(a["flux"], b["flux"], rtol=1e-4,
                                        atol=1e-4)
 
+    def test_compacted_stream_matches_plain(self, hsc):
+        """Convergence compaction (gather stragglers into a residual
+        batch after ``compact`` iterations) returns the same fits as the
+        single-program path: frozen blends untouched, stragglers continue
+        the identical iterate sequence."""
+        rng = np.random.default_rng(5)
+        ims = []
+        for i in range(4):
+            noise = (rng.standard_normal(hsc["images"].shape)
+                     .astype(np.float32) * np.sqrt(hsc["variance"])
+                     * np.float32(0.2 + 0.2 * i))
+            ims.append(hsc["images"] * np.float32(0.8 + 0.1 * i) + noise)
+        images = np.stack(ims)
+        variance = np.repeat(hsc["variance"][None], 4, axis=0)
+        psfs = np.repeat(hsc["psfs"][None], 4, axis=0)
+        centers = np.repeat(np.asarray(hsc["centers"])[None], 4, axis=0)
+        kw = dict(box_size=59, n_slots=10, max_iter=20, check_every=5,
+                  e_rel=1e-3)
+        r1, *_ = stream.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"], **kw)
+        r2, out2, _, aux2 = stream.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"],
+            chunk=2, compact=10, **kw)
+        assert len(r2) == 4
+        for a, b in zip(r1, r2):
+            assert a["iterations"] == b["iterations"]
+            np.testing.assert_allclose(a["logL"], b["logL"], rtol=1e-6)
+            np.testing.assert_allclose(a["flux"], b["flux"], rtol=1e-5,
+                                       atol=1e-5)
+        # merged return carries the whole stream
+        assert np.asarray(out2.it).shape == (4,)
+
     def test_heterogeneous_crops_via_scene_valid(self, hsc):
         """Different-sized crops zero-padded to one (H, W) with a
         scene_valid mask reproduce each crop's own host-path fit:

@@ -33,11 +33,12 @@ def main():
     images, variance, psfs, centers, active = het
     model_psf = bench._model_psf()
 
-    def run(e_rel):
+    def run(e_rel, compact=None):
         return parallel.deblend_device_stream(
             images, variance, psfs, centers, model_psf,
             center_active=active, box_size=59, n_slots=bench.HET_SLOTS,
-            max_iter=100, check_every=25, chunk=128, e_rel=e_rel)
+            max_iter=100, check_every=25, chunk=128, e_rel=e_rel,
+            compact=compact)
 
     def timed(fn, n=3):
         fn()
@@ -50,6 +51,8 @@ def main():
 
     (recs, _, _, _), t_early, times_e = timed(lambda: run(1e-4))
     iters = sorted(r["iterations"] for r in recs)
+    (recsc, _, _, _), t_comp, times_k = timed(lambda: run(1e-4, compact=50))
+    itersc = sorted(r["iterations"] for r in recsc)
     (recs0, _, _, _), t_cap, times_c = timed(lambda: run(0.0))
     iters0 = sorted(r["iterations"] for r in recs0)
 
@@ -57,13 +60,18 @@ def main():
         "n_blends": 256,
         "early_exit_s": round(t_early, 3),
         "early_exit_spread": [round(x, 3) for x in sorted(times_e)],
+        "compacted_s": round(t_comp, 3),
+        "compacted_spread": [round(x, 3) for x in sorted(times_k)],
         "fixed_cap_s": round(t_cap, 3),
         "fixed_cap_spread": [round(x, 3) for x in sorted(times_c)],
-        "speedup": round(t_cap / t_early, 3),
+        "speedup_early_vs_cap": round(t_cap / t_early, 3),
+        "speedup_compact_vs_cap": round(t_cap / t_comp, 3),
         "median_iterations_early": int(iters[len(iters) // 2]),
         "max_iterations_early": int(iters[-1]),
+        "median_iterations_compact": int(itersc[len(itersc) // 2]),
         "median_iterations_cap": int(iters0[len(iters0) // 2]),
         "blends_per_min_early": round(256 / t_early * 60, 1),
+        "blends_per_min_compact": round(256 / t_comp * 60, 1),
         "blends_per_min_cap": round(256 / t_cap * 60, 1),
     }))
 
