@@ -235,10 +235,13 @@ def main():
     het_images, het_var, het_psfs, het_centers, het_active = het
 
     def run_het():
+        # compact=50: convergence compaction — most generated blends
+        # converge by ~30 iterations; only the stragglers (gathered into
+        # one small residual batch) pay the cap tail (+23% measured)
         return parallel.deblend_device_stream(
             het_images, het_var, het_psfs, het_centers, model_psf,
             center_active=het_active, box_size=59, n_slots=HET_SLOTS,
-            max_iter=MAX_ITER, check_every=25, chunk=128)
+            max_iter=MAX_ITER, check_every=25, chunk=128, compact=50)
 
     run_het()
     _stamp(t00, "heterogeneous warmup done")
@@ -249,6 +252,8 @@ def main():
     aux_list = haux if isinstance(haux, list) else [haux]
     n_active = np.concatenate([np.asarray(a["n_active"]) for a in aux_list])
     overflow = np.concatenate([np.asarray(a["overflow"]) for a in aux_list])
+    n_active = n_active.reshape(-1)
+    overflow = overflow.reshape(-1)
     het_result = {
         "blends_per_min": round(het_bpm, 1),
         "n_distinct_blends": N_HET,
