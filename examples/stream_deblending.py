@@ -58,4 +58,20 @@ print("per-source flux (summed over bands):",
       np.round(np.asarray(r["flux"]).sum(axis=1), 1))
 assert all(np.isfinite(rec["logL"]) for rec in records)
 assert all(rec["logL"] > rec["init logL"] for rec in records)
+
+# ---- variants ------------------------------------------------------------
+# wavelet initialization recipe (starlet detection dictionaries,
+# bulge/disk from scale slices — the lite tutorial's init) on the same
+# stream; and convergence compaction (`compact=`), which gathers blends
+# still unconverged after `compact` iterations into one small residual
+# batch so early stoppers actually save wall-clock on mixed streams.
+wrecords, *_ = parallel.deblend_device_stream(
+    stack_images[:4], stack_var[:4], stack_psfs[:4], stack_centers[:4],
+    model_psf, box_size=61, n_slots=10, max_iter=MAX_ITER,
+    check_every=MAX_ITER, recipe="wavelets",
+    compact=None if MAX_ITER < 30 else 50)
+print("wavelet-recipe blend 0:",
+      f"{wrecords[0]['n_components']} components, "
+      f"logL {wrecords[0]['logL']:.1f}")
+assert all(np.isfinite(rec["logL"]) for rec in wrecords)
 print("OK")
