@@ -731,14 +731,16 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     bandwidth on a tunneled TPU (measured: 17 vs 680 MB/s), which costs
     ~35% of end-to-end throughput if the upload is interleaved per chunk.
 
-    ``compact`` (iterations, ideally a ``check_every`` multiple) turns on
-    convergence compaction: chunks run to ``compact`` first, then ONLY the
-    still-unconverged blends — gathered across all chunks into one small
-    padded residual batch — continue to ``max_iter``.  Converged blends
-    freeze but still cost compute inside a batch, so without compaction a
-    single straggler forces its whole chunk to the cap; with it the cap
-    tail is paid only for the stragglers.  Worthwhile when most blends
-    converge early (e.g. the generated regression sets: median 28 its).
+    ``compact`` (an iteration count or an ascending list of them, ideally
+    ``check_every`` multiples) turns on convergence compaction: chunks
+    run to the first point, then ONLY the still-unconverged blends —
+    gathered across all chunks into one small padded residual batch —
+    continue, re-compacting at each further point until ``max_iter``.
+    Converged blends freeze but still cost compute inside a batch, so
+    without compaction a single straggler forces its whole chunk to the
+    cap; with it each tail segment is paid only by the blends still
+    running.  Worthwhile when most blends converge early (e.g. the
+    generated regression sets: median 28 its).
 
     Returns (records, state, losses, aux); with ``chunk`` set (and no
     ``compact``), state/losses/aux are per-chunk lists; with ``compact``
@@ -766,7 +768,13 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     def sub(x, sl):
         return None if x is None else x[sl]
 
-    phase1 = max_iter if not compact else min(int(compact), max_iter)
+    if compact is None:
+        points = ()
+    elif np.isscalar(compact):
+        points = (min(int(compact), max_iter),)
+    else:
+        points = tuple(sorted({min(int(c), max_iter) for c in compact}))
+    phase1 = points[0] if points else max_iter
     handles = []
     for sl in spans:
         config, data, state, aux = stream_setup(
@@ -779,8 +787,8 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
             state, data, config, phase1, check_every=check_every)
         handles.append((handle, data, config, aux))
 
-    if compact and phase1 < max_iter:
-        return _collect_compacted(handles, phase1, max_iter, check_every,
+    if points and phase1 < max_iter:
+        return _collect_compacted(handles, points, max_iter, check_every,
                                   reweight)
 
     records, outs, losses_l, auxs = [], [], [], []
@@ -816,16 +824,17 @@ def _concat_data(datas):
     })
 
 
-def _collect_compacted(handles, phase1, max_iter, check_every, reweight):
-    """Convergence compaction: after ``phase1`` iterations, gather the
-    still-active blends from ALL chunks into one small residual batch and
-    run only those to ``max_iter``.
+def _collect_compacted(handles, points, max_iter, check_every, reweight):
+    """Convergence compaction: after ``points[0]`` iterations, gather the
+    still-active blends from ALL chunks into a small residual batch and
+    continue only those, re-compacting at each further point until
+    ``max_iter``.
 
     Converged blends freeze through the ``active`` mask but still COST
     compute inside a while-program batch, so a single straggler forces
-    its whole chunk to the cap; compaction pays that tail only for the
-    stragglers (padded up to a bucket of 32 so residual batch sizes hit a
-    handful of compiled programs).
+    its whole chunk to the cap; compaction pays each tail segment only
+    for the blends still running (residual batches padded up to 32-row
+    buckets so their sizes hit a handful of compiled programs).
     """
     from .batch import (_SHARED_FIELDS, fit_batch_device_collect,
                         fit_batch_device_converged)
@@ -833,7 +842,7 @@ def _collect_compacted(handles, phase1, max_iter, check_every, reweight):
     outs, datas, auxs, losses_l = [], [], [], []
     config = handles[0][2]
     for handle, data, cfg, aux in handles:
-        out, losses = fit_batch_device_collect(handle, phase1)
+        out, losses = fit_batch_device_collect(handle, points[0])
         outs.append(out)
         datas.append(data)
         auxs.append(aux)
@@ -847,9 +856,15 @@ def _collect_compacted(handles, phase1, max_iter, check_every, reweight):
         jnp.pad(l, ((0, n_rows - l.shape[0]), (0, 0))) for l in losses_l
     ], axis=1)
 
-    active = np.asarray(state.active)
-    idx = np.nonzero(active)[0]
-    if idx.size:
+    data_batched = data._replace(**{n: None for n in _SHARED_FIELDS})
+    shared = {n: getattr(data, n) for n in _SHARED_FIELDS}
+
+    for lo, hi in zip(points, list(points[1:]) + [max_iter]):
+        if hi <= lo:
+            continue
+        idx = np.nonzero(np.asarray(state.active))[0]
+        if not idx.size:
+            break
         n_res = -(-idx.size // 32) * 32          # pad to a 32-bucket
         idx_pad = np.concatenate(
             [idx, np.full(n_res - idx.size, idx[0], idx.dtype)])
@@ -857,15 +872,13 @@ def _collect_compacted(handles, phase1, max_iter, check_every, reweight):
                           else jnp.take(x, idx_pad, axis=0))
         res_state = jax.tree.map(take, state)
         res_data = jax.tree.map(
-            take, data._replace(**{n: None for n in _SHARED_FIELDS}),
-            is_leaf=lambda x: x is None)._replace(
-            **{n: getattr(data, n) for n in _SHARED_FIELDS})
+            take, data_batched,
+            is_leaf=lambda x: x is None)._replace(**shared)
         # padding rows are duplicates of a real blend: freeze them
         pad_off = jnp.arange(n_res) < idx.size
         res_state = res_state._replace(active=res_state.active & pad_off)
         res_out, _ = fit_batch_device_converged(
-            res_state, res_data, config, max_iter - phase1,
-            check_every=check_every)
+            res_state, res_data, config, hi - lo, check_every=check_every)
         put = lambda x, r: x.at[jnp.asarray(idx)].set(  # noqa: E731
             r[:idx.size])
         state = jax.tree.map(put, state, res_out)

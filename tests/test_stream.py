@@ -281,17 +281,18 @@ class TestStreamInit:
                   e_rel=1e-3)
         r1, *_ = stream.deblend_device_stream(
             images, variance, psfs, centers, hsc["model_psf"], **kw)
-        r2, out2, _, aux2 = stream.deblend_device_stream(
-            images, variance, psfs, centers, hsc["model_psf"],
-            chunk=2, compact=10, **kw)
-        assert len(r2) == 4
-        for a, b in zip(r1, r2):
-            assert a["iterations"] == b["iterations"]
-            np.testing.assert_allclose(a["logL"], b["logL"], rtol=1e-6)
-            np.testing.assert_allclose(a["flux"], b["flux"], rtol=1e-5,
-                                       atol=1e-5)
-        # merged return carries the whole stream
-        assert np.asarray(out2.it).shape == (4,)
+        for compact in (10, [5, 10, 15]):
+            r2, out2, _, aux2 = stream.deblend_device_stream(
+                images, variance, psfs, centers, hsc["model_psf"],
+                chunk=2, compact=compact, **kw)
+            assert len(r2) == 4
+            for a, b in zip(r1, r2):
+                assert a["iterations"] == b["iterations"]
+                np.testing.assert_allclose(a["logL"], b["logL"], rtol=1e-6)
+                np.testing.assert_allclose(a["flux"], b["flux"], rtol=1e-5,
+                                           atol=1e-5)
+            # merged return carries the whole stream
+            assert np.asarray(out2.it).shape == (4,)
 
     def test_heterogeneous_crops_via_scene_valid(self, hsc):
         """Different-sized crops zero-padded to one (H, W) with a
