@@ -202,20 +202,34 @@ def main():
     e2e_centers = np.stack([np.asarray(v[3]) for v in variants])
     model_psf = _model_psf()
 
-    def run_e2e():
+    def run_e2e(inputs):
         # chunk=128 pipelines the init of each chunk behind the previous
-        # chunk's fit; the raw stacks bulk-upload in one async transfer
+        # chunk's fit; numpy inputs bulk-upload in one async transfer
         return parallel.deblend_device_stream(
-            e2e_images, e2e_var, e2e_psfs, e2e_centers, model_psf,
+            inputs[0], inputs[1], inputs[2], e2e_centers, model_psf,
             box_size=59, n_slots=10, max_iter=MAX_ITER, check_every=25,
             chunk=128)
 
-    run_e2e()   # warmup: compiles init + fit + records programs
+    np_inputs = (e2e_images, e2e_var, e2e_psfs)
+    run_e2e(np_inputs)   # warmup: compiles init + fit + records programs
     _stamp(t00, "end-to-end warmup done")
 
-    (records, _, e2e_losses, _), e2e_s, e2e_times = _median_timed(run_e2e)
+    (records, _, e2e_losses, _), e2e_s, e2e_times = _median_timed(
+        lambda: run_e2e(np_inputs))
     e2e_bpm = N_E2E / e2e_s * 60.0
     _stamp(t00, f"end-to-end timed: {[f'{x:.2f}' for x in e2e_times]}")
+
+    # tunnel diagnostics: the raw upload alone (idle device), and the same
+    # path with device-resident inputs — the tunneled test setup's
+    # host->device bandwidth swings ~40x between sessions (BASELINE.md),
+    # which is environment, not pipeline; these two numbers separate it
+    t0 = time.perf_counter()
+    dev_inputs = jax.device_put(np_inputs)
+    jax.block_until_ready(dev_inputs)
+    upload_s = time.perf_counter() - t0
+    _, e2e_dev_s, e2e_dev_times = _median_timed(
+        lambda: run_e2e(dev_inputs))
+    _stamp(t00, f"device-resident e2e: {[f'{x:.2f}' for x in e2e_dev_times]}")
 
     e2e_result = {
         "blends_per_min": round(e2e_bpm, 1),
@@ -227,8 +241,13 @@ def main():
         "median_iterations": int(sorted(
             r["iterations"] for r in records)[N_E2E // 2]),
         "iters_ran": int(max(r["iterations"] for r in records)),
+        "upload_s_idle": round(upload_s, 3),
+        "device_resident_blends_per_min": round(
+            N_E2E / e2e_dev_s * 60.0, 1),
+        "device_resident_spread_s": [
+            round(x, 3) for x in sorted(e2e_dev_times)],
     }
-    del records, e2e_losses
+    del records, e2e_losses, dev_inputs
 
     # ---- end-to-end heterogeneous: different K/positions/sizes/seeing --
     het = make_heterogeneous(N_HET)
