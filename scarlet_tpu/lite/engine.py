@@ -57,6 +57,9 @@ __all__ = [
     "make_blend_data",
     "make_blend_state",
     "monotonicity_tables",
+    "pack_state",
+    "unpack_state",
+    "packed_morphs_ok",
 ]
 
 
@@ -93,6 +96,13 @@ class LiteFitConfig:
     use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
     use_pallas_scene: bool = False  # VMEM scene assembly + grad gather (TPU)
     fuse_morph: bool = False      # fused adaprox+prox morphology kernel
+    # persist morphologies + their optimizer moments in the mono kernel's
+    # lane-packed (hb, K*wb) layout ACROSS iterations: the per-iteration
+    # pack/unpack layout transposes cost ~25% of a fit step (xplane r3).
+    # pack_state/unpack_state convert at fit-program entry/exit; scene and
+    # gradient kernels read/write the packed blocks in place.  Requires
+    # one bucket, both Pallas paths, adaprox, no band axis.
+    packed_morphs: bool = False
     conv_mode: str = "fft"        # "fft" (XLA FFT) | "dft" (folded matmul-
     # DFT on the MXU — ~1.5x faster on TPU at the fit's small centered
     # shapes, exact to f32 roundoff; see ops/fft.dft_conv_matrices)
@@ -271,6 +281,58 @@ def make_blend_state(seds, morphs, origins, comp_active=None,
 
 
 # ---------------------------------------------------------------------------
+# Packed morphology layout (persistent lane packing across iterations)
+# ---------------------------------------------------------------------------
+def packed_morphs_ok(config):
+    """Whether the persistent packed-morphology layout applies."""
+    if not (config.packed_morphs and config.n_buckets == 1
+            and config.use_pallas and config.use_pallas_scene
+            and config.optimizer == "adaprox"
+            and config.band_axis is None):
+        return False
+    hb, wb = config.box_shapes[0]
+    return config.bucket_counts[0] * wb <= 4096
+
+
+def _pack_morph(x, hb, wb):
+    """(..., K, hb, wb) -> lane-packed (..., hb, K*wb)."""
+    K = x.shape[-3]
+    return jnp.swapaxes(x, -3, -2).reshape(*x.shape[:-3], hb, K * wb)
+
+
+def _unpack_morph(x, K, hb, wb):
+    """(..., hb, K*wb) -> (..., K, hb, wb)."""
+    v = x.reshape(*x.shape[:-2], hb, K, wb)
+    return jnp.swapaxes(v, -3, -2)
+
+
+def pack_state(state, config):
+    """Convert a BlendState's morphs + morph moments to the packed layout
+    (no-op unless :func:`packed_morphs_ok`); inverse: :func:`unpack_state`.
+    Works on single and batched (leading-axis) states."""
+    if not packed_morphs_ok(config):
+        return state
+    hb, wb = config.box_shapes[0]
+    conv = lambda m: _pack_morph(m, hb, wb)  # noqa: E731
+    return state._replace(
+        morphs=(conv(state.morphs[0]),),
+        morph_opt=(jax.tree.map(conv, state.morph_opt[0]),),
+    )
+
+
+def unpack_state(state, config):
+    if not packed_morphs_ok(config):
+        return state
+    hb, wb = config.box_shapes[0]
+    K = config.bucket_counts[0]
+    conv = lambda m: _unpack_morph(m, K, hb, wb)  # noqa: E731
+    return state._replace(
+        morphs=(conv(state.morphs[0]),),
+        morph_opt=(jax.tree.map(conv, state.morph_opt[0]),),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Forward model
 # ---------------------------------------------------------------------------
 def make_scene(state, config):
@@ -287,12 +349,18 @@ def make_scene(state, config):
     if config.use_pallas_scene:
         from ..ops.pallas_kernels import scene_assembly
 
+        # layout detection by rank: packed morphs have one axis fewer than
+        # (K, hb, wb) — external callers (records/render) hold unpacked
+        # states even under a packed config
+        packed = (packed_morphs_ok(config)
+                  and state.morphs[0].ndim == state.seds[0].ndim)
         scene = None
         for b in range(config.n_buckets):
             part = scene_assembly(
                 state.seds[b], state.morphs[b], state.origins[b],
                 state.comp_active[b], config.scene_shape, P,
-                interpret=config.pallas_interpret)
+                interpret=config.pallas_interpret,
+                box_shape=config.box_shapes[b] if packed else None)
             scene = part if scene is None else scene + part
         return scene
 
@@ -427,6 +495,54 @@ def _shift_batch(x, dy, dx):
     return padded[..., y0:y0 + H, x0:x0 + W]
 
 
+def _prox_morph_bucket_packed(packed, seds, data, config, b):
+    """:func:`_prox_morph_bucket` on the persistent lane-packed
+    (hb, K*wb) layout.  The (hb, K, wb) view is a free reshape (the lane
+    split is row-major), so every XLA piece of the chain — threshold,
+    center floor, per-slot normalization — runs without layout copies;
+    only the monotonicity kernel touches the raw packed array.
+
+    The background-threshold cut is expressed per slot as the pixel
+    cutoff ``min_c t_c / sed_kc`` (mathematically the reference's
+    any-band ``sed_c * x >= t_c`` count, ref lite/models.py:224-244)."""
+    K = seds.shape[0]
+    hb, wb = config.box_shapes[b]
+    bc = (hb // 2, wb // 2)
+    r = config.fit_center_radius
+    n_iter = config.mono_n_iters[b]
+
+    if data.box_masks is not None:
+        # loop-invariant pack: XLA hoists it out of the scan
+        packed = packed * _pack_morph(data.box_masks[b], hb, wb)
+
+    view = packed.reshape(hb, K, wb)
+    if r > 0:
+        win = view[bc[0] - r:bc[0] + r + 1, :, bc[1] - r:bc[1] + r + 1]
+        w2 = jnp.moveaxis(win, 1, 0).reshape(K, -1)   # (K, (2r+1)^2)
+        idx = jnp.argmax(w2, axis=1).astype(jnp.int32)
+    else:
+        idx = jnp.zeros((K,), jnp.int32)
+
+    from ..ops.pallas_kernels import monotonic_prox_packed
+
+    packed = monotonic_prox_packed(
+        packed, idx, data.mono_weights[b], data.mono_keep[b], wb, n_iter,
+        config.min_gradient, interpret=config.pallas_interpret)
+
+    view = packed.reshape(hb, K, wb)
+    if config.bg_thresh is not None:
+        t_c = config.bg_thresh * data.bg_rms
+        thr = jnp.min(t_c[None, :] / jnp.maximum(seds, config.floor),
+                      axis=1)
+        view = jnp.where(view < thr[None, :, None], 0.0, view)
+    else:
+        view = jnp.maximum(view, 0.0)
+    center = jnp.maximum(view[bc[0], :, bc[1]], config.floor)
+    view = view.at[bc[0], :, bc[1]].set(center)
+    view = view / jnp.max(view, axis=(0, 2), keepdims=True)
+    return view.reshape(hb, K * wb)
+
+
 # ---------------------------------------------------------------------------
 # One fit iteration
 # ---------------------------------------------------------------------------
@@ -461,6 +577,9 @@ def fit_step(state, data, config):
     new_seds, new_sed_opts = [], []
     new_morphs, new_morph_opts = [], []
 
+    packed = (packed_morphs_ok(config)
+              and state.morphs[0].ndim == state.seds[0].ndim)
+
     for b, (hb, wb) in enumerate(config.box_shapes):
         seds_b = state.seds[b]
         morphs_b = state.morphs[b]
@@ -471,7 +590,8 @@ def fit_step(state, data, config):
 
             g_seds, g_morphs = grad_gather(
                 gpad, seds_b, morphs_b, state.origins[b], P,
-                interpret=config.pallas_interpret)
+                interpret=config.pallas_interpret,
+                box_shape=(hb, wb) if packed else None)
             g_morphs = _band_sum(g_morphs, config)
         else:
             def grads(origin, sed, morph):
@@ -529,6 +649,35 @@ def fit_step(state, data, config):
 
             sb, sopt = jax.vmap(update_sed)(
                 seds_b, g_seds, state.sed_opt[b], on_b)
+
+            if packed:
+                # persistent packed layout: elementwise adaprox step on
+                # the packed arrays, then the packed prox chain; moments
+                # never leave the packed layout
+                stepped, mopt = adaprox_step(
+                    morphs_b, g_morphs, it, state.morph_opt[b],
+                    config.morph_step, prox=None, scheme=config.scheme,
+                    b1=config.b1, b2=config.b2, eps=config.eps,
+                    p=config.p, max_prox_iter=config.max_prox_iter)
+                proxed = _prox_morph_bucket_packed(stepped, sb, data,
+                                                   config, b)
+                gate = active & on_b                     # (K,)
+
+                def gate_slots(new, old):
+                    v_new = new.reshape(hb, -1, wb)
+                    v_old = old.reshape(hb, -1, wb)
+                    return jnp.where(gate[None, :, None], v_new,
+                                     v_old).reshape(hb, -1)
+
+                mb = gate_slots(proxed, morphs_b)
+                mopt = jax.tree.map(
+                    lambda new, old: gate_slots(new, old),
+                    mopt, state.morph_opt[b])
+                new_seds.append(sb)
+                new_sed_opts.append(sopt)
+                new_morphs.append(mb)
+                new_morph_opts.append(mopt)
+                continue
 
             if (config.use_pallas and config.fuse_morph
                     and config.scheme == "amsgrad"
@@ -639,4 +788,6 @@ def fit_scan(state, data, config, n_iter):
     def body(s, _):
         return fit_step(s, data, config)
 
-    return jax.lax.scan(body, state, None, length=n_iter)
+    state = pack_state(state, config)
+    out, losses = jax.lax.scan(body, state, None, length=n_iter)
+    return unpack_state(out, config), losses

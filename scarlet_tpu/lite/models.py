@@ -684,6 +684,9 @@ class LiteBlend:
             conv_mode="dft" if platform != "cpu" else "fft",
             scene_pad=scene_pad,
             optimizer="fista" if use_fista else "adaprox",
+            # persistent lane-packed morphology layout inside the fit
+            # programs (engine.packed_morphs_ok gates applicability)
+            packed_morphs=platform != "cpu",
         )
 
         data = engine.make_blend_data(

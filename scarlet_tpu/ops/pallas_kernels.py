@@ -22,8 +22,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .prox import NEIGHBOR_OFFSETS
 
-__all__ = ["batched_monotonic_prox", "fused_morph_update",
-           "scene_assembly", "grad_gather"]
+__all__ = ["batched_monotonic_prox", "monotonic_prox_packed",
+           "fused_morph_update", "scene_assembly", "grad_gather"]
 
 
 def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
@@ -174,6 +174,47 @@ def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
     return out[:K]
 
 
+@functools.partial(jax.jit, static_argnames=("Wb", "n_iter", "min_gradient",
+                                             "interpret"))
+def monotonic_prox_packed(packed, idx, weights_table, keep_table, Wb,
+                          n_iter, min_gradient=0.0, interpret=False):
+    """Monotonicity projection on an ALREADY lane-packed (Hb, K*Wb) stack
+    (slot k in columns [k*Wb, (k+1)*Wb)) — the persistent packed-layout
+    hot path: no per-call pack/unpack transposes (those HBM layout copies
+    cost ~25% of a fit iteration when morphs round-trip every step).
+
+    ``idx``: (K,) candidate-center index per slot.  Same semantics as
+    :func:`batched_monotonic_prox` with group == K.
+    """
+    Hb, gW = packed.shape
+    K = gW // Wb
+    kernel = functools.partial(_mono_kernel, n_iter=n_iter,
+                               scale=1.0 - min_gradient, group=K, Wb=Wb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, Hb, gW), lambda k, idx: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Hb, gW), lambda k, idx: (k, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, Hb, gW), packed.dtype),
+            pltpu.VMEM((Hb, gW), packed.dtype),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, Hb, gW), packed.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, packed[None], weights_table, keep_table)
+    return out[0]
+
+
 # ---------------------------------------------------------------------------
 # Fused adaprox morphology update (moments + step + prox chain, one pass)
 # ---------------------------------------------------------------------------
@@ -272,14 +313,19 @@ def _fused_morph_kernel(x_ref, g_ref, m_ref, v_ref, vh_ref, bm_ref, thr_ref,
     thr = thr_ref[0]
     out = jnp.where(out < thr, jnp.zeros_like(out), out)
 
-    # center floor + per-slot max normalization (engine:415-417)
+    # center floor + per-slot max normalization (engine:415-417) — pure
+    # selects (Mosaic has no scatter): the centers of all slots form a
+    # static mask; the per-slot 1/max scale row builds by select too
+    rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    center_mask = (rows == bc[0]) & (colm % Wb == bc[1])
+    out = jnp.where(center_mask, jnp.maximum(out, floor), out)
     gate = gate_ref[0] > 0.5
+    mxrow = jnp.ones_like(out)
     for gslot in range(group):
-        c0 = gslot * Wb
-        cy, cx = bc[0], c0 + bc[1]
-        out = out.at[cy, cx].set(jnp.maximum(out[cy, cx], floor))
-        blk = out[:, c0:c0 + Wb]
-        out = out.at[:, c0:c0 + Wb].set(blk / jnp.max(blk))
+        mx = jnp.max(out[:, gslot * Wb:(gslot + 1) * Wb])
+        mxrow = jnp.where(colm // Wb == gslot, mx, mxrow)
+    out = out / mxrow
 
     xo_ref[0] = jnp.where(gate, out, x)
     mo_ref[0] = jnp.where(gate, m2, m_ref[0])
@@ -389,7 +435,8 @@ def fused_morph_update(morphs, grads, opt, gate, weights_table, keep_table,
 # ---------------------------------------------------------------------------
 # Scene assembly and gradient gathering
 # ---------------------------------------------------------------------------
-def _scene_kernel(org_ref, seds_ref, morphs_ref, out_ref, *, K, hb, wb, P):
+def _scene_kernel(org_ref, seds_ref, morphs_ref, out_ref, *, K, hb, wb, P,
+                  packed=False):
     """Accumulate each component's factorized model into the padded scene,
     entirely in VMEM (no HBM round trips per component, unlike vmapped
     dynamic_update_slice).  The sed x morph outer product forms IN VMEM per
@@ -409,7 +456,11 @@ def _scene_kernel(org_ref, seds_ref, morphs_ref, out_ref, *, K, hb, wb, P):
     for k in range(K):
         oy = org_ref[2 * k] + P
         ox = org_ref[2 * k + 1] + P
-        m = jnp.pad(morphs_ref[k], ((0, 0), (0, Wp - wb)))   # (hb, Wp)
+        if packed:    # slot k = a lane block of the (hb, K*wb) layout
+            mk = morphs_ref[:, k * wb:(k + 1) * wb]
+        else:
+            mk = morphs_ref[k]
+        m = jnp.pad(mk, ((0, 0), (0, Wp - wb)))              # (hb, Wp)
         m = pltpu.roll(m, ox, 1)
         for c in range(C):          # scalar sed x 2D tile (Mosaic-friendly)
             cur = out_ref[c, pl.ds(oy, hb), :]
@@ -417,13 +468,17 @@ def _scene_kernel(org_ref, seds_ref, morphs_ref, out_ref, *, K, hb, wb, P):
 
 
 @functools.partial(jax.jit, static_argnames=("scene_shape", "pad",
-                                             "interpret"))
+                                             "interpret", "box_shape"))
 def scene_assembly(seds, morphs, origins, comp_active, scene_shape, pad,
-                   interpret=False):
+                   interpret=False, box_shape=None):
     """Scatter-add (K) factorized components into a padded scene, entirely
-    in VMEM.  Returns the (C, H, W) cropped scene."""
+    in VMEM.  Returns the (C, H, W) cropped scene.
+
+    ``morphs`` is (K, hb, wb), or — when ``box_shape=(hb, wb)`` is given —
+    the lane-packed (hb, K*wb) layout (read in place, no transpose)."""
     K, C = seds.shape
-    hb, wb = morphs.shape[-2:]
+    packed = box_shape is not None
+    hb, wb = box_shape if packed else morphs.shape[-2:]
     H, W = scene_shape[1:]
     # Mosaic's dynamic rotate requires tile-aligned rotation dims:
     # sublanes % 8 == 0, lanes % 128 == 0.  The extra region stays zero and
@@ -433,7 +488,8 @@ def scene_assembly(seds, morphs, origins, comp_active, scene_shape, pad,
 
     gated = seds * comp_active[:, None].astype(seds.dtype)
 
-    kernel = functools.partial(_scene_kernel, K=K, hb=hb, wb=wb, P=pad)
+    kernel = functools.partial(_scene_kernel, K=K, hb=hb, wb=wb, P=pad,
+                               packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -453,18 +509,25 @@ def scene_assembly(seds, morphs, origins, comp_active, scene_shape, pad,
 
 
 def _grad_window_kernel(org_ref, gpad_ref, seds_ref, morphs_ref,
-                        gsed_ref, gmorph_ref, *, K, hb, wb, P):
+                        gsed_ref, gmorph_ref, *, K, hb, wb, P,
+                        packed=False):
     """Slice each component's gradient band with a dynamic sublane offset,
     rotate its columns to the left edge (inverse of the scene kernel's
     placement), and contract IN VMEM: g_morph = sum_c sed_c * g_c and
     g_sed_c = sum_hw g_c * morph — the (K, C, hb, wb) gradient-window
-    stack is never materialized in HBM."""
+    stack is never materialized in HBM.
+
+    With ``packed``, morphs are read from and g_morphs written to the
+    lane-packed (hb, K*wb) layout."""
     Wp = gpad_ref.shape[-1]
     C = gpad_ref.shape[0]
     for k in range(K):
         oy = org_ref[2 * k] + P
         ox = org_ref[2 * k + 1] + P
-        morph = morphs_ref[k]                            # (hb, wb)
+        if packed:
+            morph = morphs_ref[:, k * wb:(k + 1) * wb]   # (hb, wb)
+        else:
+            morph = morphs_ref[k]                        # (hb, wb)
         gm = None
         for c in range(C):          # scalar ops only (Mosaic-friendly)
             g = gpad_ref[c, pl.ds(oy, hb), :]            # (hb, Wp)
@@ -472,18 +535,25 @@ def _grad_window_kernel(org_ref, gpad_ref, seds_ref, morphs_ref,
             t = seds_ref[k, c] * g
             gm = t if gm is None else gm + t
             gsed_ref[k, c] = jnp.sum(g * morph)
-        gmorph_ref[k] = gm
+        if packed:
+            gmorph_ref[:, k * wb:(k + 1) * wb] = gm
+        else:
+            gmorph_ref[k] = gm
 
 
-@functools.partial(jax.jit, static_argnames=("pad", "interpret"))
-def grad_gather(gpad, seds, morphs, origins, pad, interpret=False):
+@functools.partial(jax.jit, static_argnames=("pad", "interpret",
+                                             "box_shape"))
+def grad_gather(gpad, seds, morphs, origins, pad, interpret=False,
+                box_shape=None):
     """Per-component (g_sed, g_morph) from the *padded* scene gradient
     ``gpad`` (padded by ``pad`` on both spatial sides), VMEM-resident.
 
-    Returns ((K, C), (K, hb, wb)).
+    Returns ((K, C), (K, hb, wb)) — or ((K, C), (hb, K*wb)) when
+    ``box_shape`` selects the lane-packed layout.
     """
     K, C = seds.shape
-    hb, wb = morphs.shape[-2:]
+    packed = box_shape is not None
+    hb, wb = box_shape if packed else morphs.shape[-2:]
     # tile-align the rotation dims (see scene_assembly)
     Hp, Wp = gpad.shape[-2:]
     Ht = -(-Hp // 8) * 8
@@ -492,7 +562,7 @@ def grad_gather(gpad, seds, morphs, origins, pad, interpret=False):
         gpad = jnp.pad(gpad, ((0, 0), (0, Ht - Hp), (0, Wt - Wp)))
 
     kernel = functools.partial(_grad_window_kernel, K=K, hb=hb, wb=wb,
-                               P=pad)
+                               P=pad, packed=packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -506,11 +576,12 @@ def grad_gather(gpad, seds, morphs, origins, pad, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
     )
+    gmorph_shape = (hb, K * wb) if packed else (K, hb, wb)
     g_seds, g_morphs = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((K, C), gpad.dtype),
-            jax.ShapeDtypeStruct((K, hb, wb), gpad.dtype),
+            jax.ShapeDtypeStruct(gmorph_shape, gpad.dtype),
         ],
         grid_spec=grid_spec,
         interpret=interpret,

@@ -209,7 +209,9 @@ def _fit_batch(state, data, config, n_iter):
     def body(s, _):
         return step(s, data)
 
-    return jax.lax.scan(body, state, None, length=n_iter)
+    state = engine.pack_state(state, config)
+    out, losses = jax.lax.scan(body, state, None, length=n_iter)
+    return engine.unpack_state(out, config), losses
 
 
 fit_batch = partial(jax.jit, static_argnames=("config", "n_iter"))(_fit_batch)
@@ -231,6 +233,7 @@ def _fit_batch_while(state, data, config, max_iter, check_every):
     rem = max_iter - n_full * check_every
     B = state.active.shape[0]
     dtype = data.images.dtype      # logL dtype (last_loss may be widened)
+    state = engine.pack_state(state, config)
     step = jax.vmap(lambda st, dt: engine.fit_step(st, dt, config),
                     in_axes=(0, _data_in_axes(data)))
 
@@ -271,7 +274,7 @@ def _fit_batch_while(state, data, config, max_iter, check_every):
             lambda args: (args[0], args[1], jnp.asarray(0, jnp.int32)),
             (out, losses))
         n_run = n_run + n_tail
-    return out, losses, n_run
+    return engine.unpack_state(out, config), losses, n_run
 
 
 _fit_batch_while_jit = partial(

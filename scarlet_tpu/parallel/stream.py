@@ -599,6 +599,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         use_pallas_scene=platform != "cpu",
         conv_mode="dft" if platform != "cpu" else "fft",
         scene_pad=S // 2 + 2,
+        packed_morphs=platform != "cpu",
     )
 
     data = engine.BlendData(

@@ -126,6 +126,33 @@ def test_engine_pallas_scene_interpret_matches_xla():
                     rtol=1e-5, atol=1e-6)
 
 
+def test_engine_packed_layout_matches_xla():
+    """The persistent lane-packed morphology layout (packed_morphs) gives
+    the same fit as the XLA path: pack at program entry, packed kernels
+    and prox chain inside, unpack at exit."""
+    import dataclasses
+    import __graft_entry__ as g
+
+    config, data, state = g._demo_setup()
+    out_x, loss_x = engine.fit_scan(state, data, config, 5)
+    config_p = dataclasses.replace(
+        config, use_pallas=True, use_pallas_scene=True, packed_morphs=True,
+        pallas_interpret=True)
+    assert engine.packed_morphs_ok(config_p)
+    out_p, loss_p = engine.fit_scan(state, data, config_p, 5)
+    # returned state is unpacked (same pytree shapes)
+    assert np.asarray(out_p.morphs[0]).shape == \
+        np.asarray(out_x.morphs[0]).shape
+    assert_allclose(np.asarray(loss_p), np.asarray(loss_x), rtol=1e-5)
+    assert_allclose(np.asarray(out_p.morphs), np.asarray(out_x.morphs),
+                    rtol=1e-5, atol=1e-6)
+    assert_allclose(np.asarray(out_p.seds), np.asarray(out_x.seds),
+                    rtol=1e-5, atol=1e-7)
+    # moments come back in the unpacked layout too
+    assert_allclose(np.asarray(out_p.morph_opt[0].v),
+                    np.asarray(out_x.morph_opt[0].v), rtol=1e-4, atol=1e-9)
+
+
 def test_fused_morph_update_matches_reference():
     """The fused adaprox+prox kernel == the explicit sequence: amsgrad
     moment update, damped step, box-mask confinement, candidate-center
