@@ -178,11 +178,15 @@ def main():
     _stamp(t00, "steady-state fit compiled")
     out_state, losses, _ = run()
     _stamp(t00, "steady-state warm run done")
-    t0 = time.perf_counter()
-    out_state, losses, _ = run()
-    steady_s = time.perf_counter() - t0
+    steady_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_state, losses, _ = run()
+        steady_times.append(time.perf_counter() - t0)
+    steady_s = sorted(steady_times)[1]
     steady_bpm = STEADY_BATCH / steady_s * 60.0
-    _stamp(t00, f"steady-state timed: {steady_s:.2f}s")
+    _stamp(t00, "steady-state timed: "
+           f"{[f'{t:.2f}' for t in sorted(steady_times)]}")
     try:
         final_logL = float(jnp.median(losses[-1]))
     except Exception:
@@ -295,6 +299,7 @@ def main():
         "value": round(steady_bpm, 1),
         "unit": "blends/min",
         "vs_baseline": round(steady_bpm / 1000.0, 3),
+        "steady_spread_s": [round(x, 3) for x in sorted(steady_times)],
         "end_to_end": e2e_result,
         "end_to_end_heterogeneous": het_result,
     }

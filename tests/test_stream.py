@@ -135,6 +135,35 @@ class TestStreamInit:
         np.testing.assert_allclose(recs[0]["flux"], hflux,
                                    rtol=2e-2, atol=1e-2 * hflux.max())
 
+    def test_packed_layout_matches_plain(self, stream_setup_out):
+        """The TPU stream config (packed_morphs + Pallas kernels, here in
+        interpret mode) must reproduce the plain XLA fit through the
+        production while-program — covers pack/unpack inside
+        `_fit_batch_while` on the stream layout."""
+        import dataclasses
+
+        from scarlet_tpu.lite import engine
+
+        scfg, sdata, sstate, aux = stream_setup_out
+        pcfg = dataclasses.replace(
+            scfg, use_pallas=True, use_pallas_scene=True,
+            packed_morphs=True, pallas_interpret=True)
+        assert engine.packed_morphs_ok(pcfg)
+        out, losses = parallel.fit_batch_device_converged(
+            sstate, sdata, scfg, 10, check_every=10)
+        pout, plosses = parallel.fit_batch_device_converged(
+            sstate, sdata, pcfg, 10, check_every=10)
+        assert np.asarray(pout.morphs[0]).shape == \
+            np.asarray(out.morphs[0]).shape
+        np.testing.assert_allclose(np.asarray(plosses),
+                                   np.asarray(losses), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(pout.morphs),
+                                   np.asarray(out.morphs),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pout.seds),
+                                   np.asarray(out.seds),
+                                   rtol=1e-4, atol=1e-7)
+
     def test_psf_fallback_and_center_mask(self, hsc):
         """A center on blank sky falls back to the PSF morphology; masked
         center rows produce inactive slots."""
