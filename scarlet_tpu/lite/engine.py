@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from ..ops import fft as fft_ops
 from ..ops import prox as prox_ops
+from ..ops.arrays import shift_zero
 from ..optim import (AdaproxState, FistaState, init_adaprox_state,
                      adaprox_step, fista_step)
 
@@ -466,7 +467,7 @@ def _prox_morph_bucket(morphs, seds, data, config, b):
         def body(_, x):
             ref = jnp.zeros_like(x)
             for d, (dy, dx) in enumerate(prox_ops.NEIGHBOR_OFFSETS):
-                ref = ref + w[:, d] * _shift_batch(x, dy, dx)
+                ref = ref + w[:, d] * shift_zero(x, dy, dx)
             return jnp.where(keep, X0, jnp.minimum(X0, ref * scale))
 
         morphs = jax.lax.fori_loop(0, n_iter, body, X0)
@@ -484,15 +485,6 @@ def _prox_morph_bucket(morphs, seds, data, config, b):
     center_val = jnp.maximum(morphs[:, bc[0], bc[1]], config.floor)
     morphs = morphs.at[:, bc[0], bc[1]].set(center_val)
     return morphs / jnp.max(morphs, axis=(-2, -1), keepdims=True)
-
-
-def _shift_batch(x, dy, dx):
-    """n[., y, x] = X[., y+dy, x+dx], zero outside (batched leading axis)."""
-    pad = ((0, 0), (max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
-    padded = jnp.pad(x, pad)
-    H, W = x.shape[-2:]
-    y0, x0 = max(0, dy), max(0, dx)
-    return padded[..., y0:y0 + H, x0:x0 + W]
 
 
 def _prox_morph_bucket_packed(packed, seds, data, config, b):

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import fft as fft_ops
+from .arrays import shift_zero
 from ..cache import Cache
 
 __all__ = [
@@ -451,19 +452,14 @@ def monotonic_mask_device(X, center, center_radius=1, variance=0.0):
     valid0 = (yy == cy) & (xx == cx)
     pos = X > 0
 
-    def shift2(m, dy, dx):
-        pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
-        p = jnp.pad(m, pad)
-        return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
-
     center_mask = valid0
 
     def passes(state):
         valid, _ = state
         new = valid
         for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
-            nb_valid = shift2(valid, dy, dx)
-            nb_val = shift2(X, dy, dx)
+            nb_valid = shift_zero(valid, dy, dx)
+            nb_val = shift_zero(X, dy, dx)
             new = new | (nb_valid & (X < nb_val + variance) & pos)
         return new | center_mask, jnp.any(new != valid)
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from .arrays import shift_axis as _shift0
+
 __all__ = [
     "Starlet",
     "bspline_convolve",
@@ -29,22 +31,6 @@ __all__ = [
 
 # B3 spline filter from Starck et al. 2011 (ref: wavelet.py:171).
 _H1D = (1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16)
-
-
-def _shift0(x, k, axis):
-    """Shift ``x`` by ``k`` pixels along ``axis``, filling with zeros."""
-    if k == 0:
-        return x
-    n = x.shape[axis]
-    pad = [(0, 0)] * x.ndim
-    index = [slice(None)] * x.ndim
-    if k > 0:
-        pad[axis] = (k, 0)
-        index[axis] = slice(0, n)
-    else:
-        pad[axis] = (0, -k)
-        index[axis] = slice(-k, n - k)
-    return jnp.pad(x, pad)[tuple(index)]
 
 
 def bspline_convolve(image, scale):

@@ -388,6 +388,7 @@ def fit_batch_sharded(state, data, config, n_iter, mesh, shard_bands=False):
         "sed_step_min": P("blends", band),
         "fista_step": P("blends"),
         "box_masks": P("blends"),
+        "scene_mask": P("blends"),
     }
     data_specs = engine.BlendData(**{
         name: None if getattr(data, name) is None else (

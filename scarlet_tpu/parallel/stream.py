@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import fft as fft_ops
+from ..ops.arrays import shift_zero as _shift
 from ..ops import prox as prox_ops
 from ..ops import wavelet as wavelet_ops
 from ..optim import AdaproxState
@@ -89,14 +90,6 @@ def _mono_project(x, w8, keep, n_iter):
     return jax.lax.fori_loop(0, n_iter, body, X0)
 
 
-def _shift(x, dy, dx):
-    """out[y, x] = X[y+dy, x+dx], zero outside."""
-    pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
-    padded = jnp.pad(x, pad)
-    H, W = x.shape
-    return padded[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
-
-
 def _quantized_boxsize(size, cap, min_size=21, increment=10):
     """jnp version of initialization.get_minimal_boxsize: smallest
     ``min_size + k*increment`` >= size, capped at the physical box."""
@@ -133,7 +126,7 @@ def _wavelet_dictionaries(images, variance, scene_valid, n_scales,
     return detectlets, bulgelets, disklets
 
 
-def _init_one_blend(images, variance, weights, psfs, centers, center_on,
+def _init_one_blend(images, variance, psfs, centers, center_on,
                     model_psf, scene_valid, mono_w8, mono_keep, *, S,
                     n_slots, fft_shape, match_shape, psf_fft_shape,
                     mono_iter, min_snr, thresh, percentile, use_mask,
@@ -469,7 +462,7 @@ def _init_one_blend(images, variance, weights, psfs, centers, center_on,
     "S", "n_slots", "fft_shape", "match_shape", "psf_fft_shape",
     "mono_iter", "min_snr", "thresh", "percentile", "use_mask",
     "recipe", "grow", "n_scales", "bulge_scales", "use_psf"))
-def _stream_init_batch(images, variance, weights, psfs, centers, center_on,
+def _stream_init_batch(images, variance, psfs, centers, center_on,
                        model_psf, scene_valid, mono_w8, mono_keep, *, S,
                        n_slots, fft_shape, match_shape, psf_fft_shape,
                        mono_iter, min_snr, thresh, percentile,
@@ -482,10 +475,10 @@ def _stream_init_batch(images, variance, weights, psfs, centers, center_on,
         percentile=percentile, use_mask=use_mask, recipe=recipe, grow=grow,
         n_scales=n_scales, bulge_scales=bulge_scales, use_psf=use_psf)
     return jax.vmap(
-        lambda im, va, we, ps, ce, on, sv: one(im, va, we, ps, ce, on,
-                                               model_psf, sv, mono_w8,
-                                               mono_keep)
-    )(images, variance, weights, psfs, centers, center_on, scene_valid)
+        lambda im, va, ps, ce, on, sv: one(im, va, ps, ce, on,
+                                           model_psf, sv, mono_w8,
+                                           mono_keep)
+    )(images, variance, psfs, centers, center_on, scene_valid)
 
 
 def stream_setup(images, variance, psfs, centers, model_psf,
@@ -535,10 +528,6 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     S = int(box_size)
     if S % 2 == 0:
         raise ValueError(f"box_size must be odd, got {S}")
-    if weights is None:
-        weights = 1.0 / jnp.maximum(variance, 1e-12)
-    else:
-        weights = jnp.asarray(weights)
     centers = jnp.asarray(np.round(np.asarray(centers)), jnp.int32)
     if center_active is None:
         center_active = jnp.ones(centers.shape[:2], bool)
@@ -550,6 +539,14 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         scene_valid = jnp.ones((B, H, W), images.dtype)
     else:
         scene_valid = jnp.asarray(scene_valid).astype(images.dtype)
+    if weights is None:
+        # padding pixels of zero-padded heterogeneous crops have
+        # variance 0: without the scene_valid factor they would get
+        # weight 1e12 and the convolved model's leak past the true scene
+        # edge would dominate every gradient
+        weights = scene_valid[:, None] / jnp.maximum(variance, 1e-12)
+    else:
+        weights = jnp.asarray(weights)
 
     if fft_shape is None:
         fft_shape = fft_ops.minimal_same_fft_shape(
@@ -571,7 +568,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     n_scales = get_scales((H, W), int(wavelet_scales))
 
     data_l, state_l, aux = _stream_init_batch(
-        images, variance, weights, psfs, centers, center_active, model_psf,
+        images, variance, psfs, centers, center_active, model_psf,
         scene_valid, jnp.asarray(w8), jnp.asarray(keep_c), S=S,
         n_slots=int(n_slots),
         fft_shape=tuple(fft_shape), match_shape=match_shape,
@@ -775,6 +772,8 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
         points = (min(int(compact), max_iter),)
     else:
         points = tuple(sorted({min(int(c), max_iter) for c in compact}))
+    if any(c <= 0 for c in points):
+        raise ValueError(f"compact points must be positive, got {compact}")
     phase1 = points[0] if points else max_iter
     handles = []
     for sl in spans:

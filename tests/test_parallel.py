@@ -173,6 +173,27 @@ class TestBatched:
             (out_state.seds, out_state.morphs),
             (ref_state.seds, ref_state.morphs))
 
+    def test_sharded_with_scene_mask(self, sim_blend):
+        """fit_batch_sharded on data carrying a scene_mask (every
+        pack_blends/heterogeneous layout sets one) — regression: the
+        shard_map partition spec used to omit the field (KeyError)."""
+        import jax.numpy as jnp
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        config, data, state = sim_blend.engine_setup()
+        bdata, bstate = parallel.replicate_blend(data, state, 8)
+        C, H, W = config.scene_shape
+        ref_state, ref_losses = parallel.fit_batch(bstate, bdata, config, 5)
+        # an all-real mask must not change the result
+        bdata = bdata._replace(
+            scene_mask=jnp.ones((8, H, W), jnp.asarray(bdata.images).dtype))
+        mesh = parallel.make_mesh(8, bands=1)
+        out_state, out_losses = parallel.fit_batch_sharded(
+            bstate, bdata, config, 5, mesh)
+        np.testing.assert_allclose(np.asarray(out_losses),
+                                   np.asarray(ref_losses), rtol=1e-5)
+
 
 class TestDeviceConverged:
     def test_matches_host_segments(self, sim_blend):

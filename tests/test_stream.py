@@ -358,6 +358,17 @@ class TestStreamInit:
             weights=weights, center_active=cact, scene_valid=valid,
             box_size=59, n_slots=10, max_iter=25, check_every=25)
 
+        # DEFAULT weights must behave identically: 1/variance masked by
+        # scene_valid (regression: padding pixels have variance 0 and used
+        # to get weight 1e12, blowing up the fit)
+        drecs, _, _, _ = stream.deblend_device_stream(
+            images, variance, psfs, carr, hsc["model_psf"],
+            center_active=cact, scene_valid=valid,
+            box_size=59, n_slots=10, max_iter=25, check_every=25)
+        for b in range(B):
+            np.testing.assert_allclose(drecs[b]["logL"], recs[b]["logL"],
+                                       rtol=1e-5)
+
         # each padded blend must match its own-crop host-path fit
         for b, (h, w) in enumerate(crops):
             obs = lite.LiteObservation(
