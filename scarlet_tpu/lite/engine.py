@@ -107,6 +107,8 @@ class LiteFitConfig:
     conv_mode: str = "fft"        # "fft" (XLA FFT) | "dft" (folded matmul-
     # DFT on the MXU — ~1.5x faster on TPU at the fit's small centered
     # shapes, exact to f32 roundoff; see ops/fft.dft_conv_matrices)
+    conv_precision: str = "float32"  # matmul precision of the DFT conv
+    # ("float32" = 3-pass bf16, f32-exact; "default" = 1-pass bf16)
     pallas_interpret: bool = False
     scene_pad: int = -1           # -1: one full (largest) box — always safe
     # band-axis model parallelism (shard_map): inside a shard_map over a
@@ -409,7 +411,8 @@ def _convolve(scene, kernel_rfft, config):
     if config.conv_mode == "dft":
         mats = fft_ops.dft_conv_matrices(
             scene.shape[-2:], config.fft_shape, scene.dtype)
-        return fft_ops.convolve_dft(scene, _join_complex(kernel_rfft), mats)
+        return fft_ops.convolve_dft(scene, _join_complex(kernel_rfft), mats,
+                                    precision=config.conv_precision)
     return fft_ops.convolve_fft(scene, _join_complex(kernel_rfft),
                                 config.fft_shape, (-2, -1))
 

@@ -369,17 +369,21 @@ def dft_conv_matrices(in_shape, fft_shape, dtype=np.float32):
     return out
 
 
-def convolve_dft(image, kernel_rfft, matrices):
+def convolve_dft(image, kernel_rfft, matrices, precision="float32"):
     """Centered convolution via folded matmul-DFT (see
     :func:`dft_conv_matrices`).  Semantically identical to
     :func:`convolve_fft` with ``real_shape == image.shape``; leading batch
     axes broadcast.  Runs the spectral contractions on the MXU at
-    ``precision="float32"`` (3-pass bf16 — f32-exact to roundoff)."""
+    ``precision="float32"`` (3-pass bf16 — f32-exact to roundoff) by
+    default; ``precision="default"`` selects 1-pass bf16: measured +4.4%
+    fit throughput but a genuinely degraded solution (final logL -8857
+    vs -8619 on the flagship fit — BASELINE r3), so it is opt-in via
+    ``LiteFitConfig.conv_precision`` and never the default."""
     import jax
 
     A, B, iA, iB = (jax.lax.complex(jnp.asarray(m[0]), jnp.asarray(m[1]))
                     for m in matrices)
-    ein = lambda s, *ops: jnp.einsum(s, *ops, precision="float32")  # noqa
+    ein = lambda s, *ops: jnp.einsum(s, *ops, precision=precision)  # noqa
     y = ein("ij,...jk,kl->...il", A, image.astype(A.dtype), B)
     out = ein("ij,...jk,kl->...il", iA, y * kernel_rfft, iB)
     return jnp.real(out)
