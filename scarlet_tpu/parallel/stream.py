@@ -496,12 +496,15 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     centers : (B, K, 2) integer (y, x) peak positions; pad unused rows
         anywhere in-image and mark them in ``center_active``.
     model_psf : (1, mh, mw) target (model-frame) PSF.
-    weights : optional (B, C, H, W); default 1/max(variance, 1e-12).
+    weights : optional (B, C, H, W); default
+        scene_valid/max(variance, 1e-12) — padding pixels get weight 0
+        automatically.
     center_active : optional (B, K) bool; default all on.
     scene_valid : optional (B, H, W) mask of real pixels, for streams of
         heterogeneous crops zero-padded to one (H, W): pad images/variance
-        with 0, weights with 0, and mark padding 0 here so the detection
-        coadd, noise RMS, and symmetrization see only real pixels.
+        with 0 and mark padding 0 here so the detection coadd, noise RMS,
+        symmetrization, and the default weights see only real pixels
+        (explicitly passed weights must be 0 on padding themselves).
         Default all-ones (homogeneous stream).
     box_size : physical component box S (odd).  Static.
     n_slots : component slots per blend (>= max expected components; a

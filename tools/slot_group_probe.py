@@ -53,6 +53,10 @@ def main():
     sel = np.nonzero(n_active <= 8)[0]
     # same blend count for both configs: trim to a multiple of 32
     sel = sel[: (len(sel) // 32) * 32]
+    if not len(sel):
+        raise SystemExit(
+            "no eligible blends: fewer than 32 have <= 8 active "
+            "components — nothing to probe on this stream")
     print(json.dumps({"subset": int(len(sel))}), flush=True)
     o = jnp.asarray(sel)
     im, va, ps = d_images[o], d_var[o], d_psfs[o]

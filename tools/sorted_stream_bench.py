@@ -26,9 +26,24 @@ sys.path.insert(0, "/root/repo")
 import numpy as np  # noqa: E402
 
 
+def _avg_ranks(a):
+    """Average ranks for ties (scipy.stats.rankdata(method="average"))."""
+    a = np.asarray(a)
+    order = np.argsort(a, kind="stable")
+    ranks = np.empty(len(a), np.float64)
+    i = 0
+    while i < len(a):
+        j = i
+        while j + 1 < len(a) and a[order[j + 1]] == a[order[i]]:
+            j += 1
+        ranks[order[i:j + 1]] = 0.5 * (i + j)
+        i = j + 1
+    return ranks
+
+
 def spearman(a, b):
-    ra = np.argsort(np.argsort(a)).astype(np.float64)
-    rb = np.argsort(np.argsort(b)).astype(np.float64)
+    ra = _avg_ranks(a)
+    rb = _avg_ranks(b)
     ra -= ra.mean()
     rb -= rb.mean()
     return float((ra * rb).sum() /
@@ -84,12 +99,14 @@ def main():
                             np.percentile(iters, [0, 25, 50, 75, 100])],
     }), flush=True)
 
-    variants = {"unsorted": dict()}
+    variants = {}
     orders = {
         "oracle": np.argsort(iters, kind="stable"),
         "ncomp": np.argsort(n_comp, kind="stable"),
     }
     for chunk in chunks:
+        # unsorted baseline at the SAME chunk size as the sorted variants
+        variants[f"unsorted_c{chunk}"] = dict(chunk=chunk)
         for name, order in orders.items():
             variants[f"{name}_c{chunk}"] = dict(order=order, chunk=chunk)
             if name == "oracle":
