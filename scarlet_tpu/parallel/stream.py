@@ -715,7 +715,8 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
                           scene_valid=None, *, box_size,
                           n_slots, max_iter=100, check_every=25,
                           min_snr=50, e_rel=1e-4, reweight=False,
-                          chunk=None, compact=None, **kw):
+                          chunk=None, compact=None, upload_dtype=None,
+                          **kw):
     """One-call production path: device init + device fit + records.
 
     The entire stream batch runs as three compiled programs with no
@@ -731,6 +732,21 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     land while a fit program is executing crawl at ~1-5% of idle-device
     bandwidth on a tunneled TPU (measured: 17 vs 680 MB/s), which costs
     ~35% of end-to-end throughput if the upload is interleaved per chunk.
+
+    ``upload_dtype`` (e.g. ``jnp.bfloat16``) quantizes the raw host
+    stacks (images/variance/psfs/weights/masks) to that dtype for the
+    host->device transfer only — they are cast back to float32 on device
+    per chunk, so every compute program stays f32-exact and only the
+    input data is quantized once (~0.4% per-value for bf16).  Halves the
+    bytes through a slow link, but measured only ~1.02x end-to-end in a
+    healthy tunnel window, and the quantization can flip DISCRETE init
+    decisions (SNR gates, box sizes, bulge/disk splits) on marginal
+    sources, occasionally changing a fit substantially (generated het
+    set: flux deviation median 1.5% but p95 10%; one blend's logL moved
+    by 4196 — BASELINE r3 finding 10).  Leave ``None`` (default) for
+    bit-exact inputs; reach for this only when the link is the proven
+    bottleneck and per-blend reproducibility doesn't matter.
+    Device-resident inputs are never touched.
 
     ``compact`` (an iteration count or an ascending list of them, ideally
     ``check_every`` multiples) turns on convergence compaction: chunks
@@ -749,10 +765,15 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     from .batch import (fit_batch_device_dispatch,
                         fit_batch_device_collect)
 
+    qdtype = None if upload_dtype is None else jnp.dtype(upload_dtype)
+
     def put(x):
         if x is None or isinstance(x, jnp.ndarray):
             return x
-        return jax.device_put(np.ascontiguousarray(x))
+        x = np.ascontiguousarray(x)
+        if qdtype is not None and np.issubdtype(x.dtype, np.floating):
+            x = x.astype(qdtype)
+        return jax.device_put(x)
 
     images = put(images)
     variance = put(variance)
@@ -767,7 +788,14 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
         spans = [slice(i, min(i + chunk, B)) for i in range(0, B, chunk)]
 
     def sub(x, sl):
-        return None if x is None else x[sl]
+        if x is None:
+            return None
+        y = x[sl]
+        # cast quantized uploads back to f32 on device, per chunk, so the
+        # cast overlaps the previous chunk's fit and compute stays f32
+        if qdtype is not None and y.dtype == qdtype:
+            y = y.astype(jnp.float32)
+        return y
 
     if compact is None:
         points = ()

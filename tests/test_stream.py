@@ -290,6 +290,38 @@ class TestStreamInit:
             np.testing.assert_allclose(a["flux"], b["flux"], rtol=1e-4,
                                        atol=1e-4)
 
+    def test_bf16_upload_matches_f32(self, hsc):
+        """upload_dtype=bfloat16 quantizes only the transferred inputs
+        (compute stays f32): records match the f32-upload path to the
+        input-quantization level (~0.4% per value)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(31)
+        ims, var = [], []
+        for i in range(2):
+            noise = (rng.standard_normal(hsc["images"].shape)
+                     .astype(np.float32) * np.sqrt(hsc["variance"]) * 0.3)
+            ims.append(hsc["images"] + noise)
+            var.append(hsc["variance"])
+        images = np.stack(ims)
+        variance = np.stack(var)
+        psfs = np.repeat(hsc["psfs"][None], 2, axis=0)
+        centers = np.repeat(np.asarray(hsc["centers"])[None], 2, axis=0)
+        kw = dict(box_size=59, n_slots=10, max_iter=15, check_every=15)
+        r32, out32, *_ = stream.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"], **kw)
+        r16, out16, *_ = stream.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"],
+            upload_dtype=jnp.bfloat16, **kw)
+        # the fit state itself must be f32 — only the upload was quantized
+        assert out16.morphs[0].dtype == out32.morphs[0].dtype
+        for a, b in zip(r32, r16):
+            np.testing.assert_allclose(a["logL"], b["logL"], rtol=3e-3)
+            total = np.abs(np.asarray(a["flux"])).max()
+            np.testing.assert_allclose(np.asarray(a["flux"]),
+                                       np.asarray(b["flux"]),
+                                       rtol=0.03, atol=0.02 * total)
+
     def test_compacted_stream_matches_plain(self, hsc):
         """Convergence compaction (gather stragglers into a residual
         batch after ``compact`` iterations) returns the same fits as the
