@@ -632,16 +632,43 @@ def stream_setup(images, variance, psfs, centers, model_psf,
 
 @jax.jit
 def _stream_records_device(state, aux):
+    """Per-source model fluxes (B, K, C) and intensity-weighted centroids
+    (B, K, 2) in scene coordinates.
+
+    The centroid is exact: for the factorized model the channel-summed
+    per-source image is sum_s (sum_c sed_sc) morph_s, so its centroid is
+    the slot centroids weighted by slot total flux — identical to
+    measure.centroid (ref scarlet/measure.py:40-57) on the assembled
+    per-source model, with no scene render."""
     seds = state.seds[0]                    # (B, n_slots, C)
-    morphs = state.morphs[0]                # (B, n_slots, S, S)
+    morphs = state.morphs[0]                # (B, n_slots, hb, wb)
     on = state.comp_active[0]               # (B, n_slots)
-    flux = seds * jnp.sum(morphs, axis=(-2, -1))[..., None] * on[..., None]
+    origins = state.origins[0]              # (B, n_slots, 2)
+    msum = jnp.sum(morphs, axis=(-2, -1))   # (B, n_slots)
+    flux = seds * msum[..., None] * on[..., None]
     K = aux["snr"].shape[1]
     src = jnp.where(on, aux["slot_source"], K)   # (B, n_slots)
-    per_source = jax.vmap(
-        lambda f, s: jax.ops.segment_sum(f, s, num_segments=K + 1)[:K]
-    )(flux, src)
-    return per_source                        # (B, K, C)
+
+    def seg(f, s):
+        return jax.ops.segment_sum(f, s, num_segments=K + 1)[:K]
+
+    vseg = jax.vmap(seg)
+    per_source = vseg(flux, src)             # (B, K, C)
+
+    iy = jnp.arange(morphs.shape[-2], dtype=morphs.dtype)
+    ix = jnp.arange(morphs.shape[-1], dtype=morphs.dtype)
+    denom = jnp.where(msum != 0, msum, 1.0)
+    cy = jnp.einsum("bkyx,y->bk", morphs, iy) / denom \
+        + origins[..., 0].astype(morphs.dtype)
+    cx = jnp.einsum("bkyx,x->bk", morphs, ix) / denom \
+        + origins[..., 1].astype(morphs.dtype)
+    wslot = jnp.sum(flux, axis=-1)           # (B, n_slots) total slot flux
+    wsum = vseg(wslot[..., None], src)[..., 0]            # (B, K)
+    wsafe = jnp.where(wsum != 0, wsum, 1.0)
+    cen_y = vseg((wslot * cy)[..., None], src)[..., 0] / wsafe
+    cen_x = vseg((wslot * cx)[..., None], src)[..., 0] / wsafe
+    centroid = jnp.stack([cen_y, cen_x], axis=-1)         # (B, K, 2)
+    return per_source, centroid
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -685,13 +712,15 @@ def stream_records(state, losses, aux, data=None, config=None,
     With ``reweight=True`` (requires ``data`` and ``config``), per-source
     fluxes use the observed-flux redistribution of
     ``lite.measure.weight_sources`` instead of raw model sums."""
+    per_source, centroids = _stream_records_device(state, aux)
+    centroids = np.asarray(centroids)
     if reweight:
         if data is None or config is None:
             raise ValueError("reweight=True needs data and config")
         per_source = np.asarray(_stream_weighted_flux(state, data, aux,
                                                       config))
     else:
-        per_source = np.asarray(_stream_records_device(state, aux))
+        per_source = np.asarray(per_source)
     its = np.asarray(state.it)
     last = np.asarray(state.last_loss)
     # physical active slots (aux["n_active"] counts desired components,
@@ -706,6 +735,7 @@ def stream_records(state, losses, aux, data=None, config=None,
             "init logL": float(losses[0, b]) if losses.size else float("nan"),
             "n_components": int(n_act[b]),
             "flux": per_source[b],
+            "centroid": centroids[b],
         })
     return records
 

@@ -115,6 +115,38 @@ class TestStreamInit:
         assert np.isfinite(recs[0]["logL"])
         assert recs[0]["logL"] > recs[0]["init logL"]
         assert recs[0]["flux"].shape == (7, 5)
+        assert recs[0]["centroid"].shape == (7, 2)
+
+    def test_record_centroids_match_host_measure(self, stream_setup_out):
+        """Device centroids == measure.centroid on the assembled
+        per-source scene model (host numpy oracle)."""
+        from scarlet_tpu import measure
+
+        scfg, sdata, sstate, aux = stream_setup_out
+        out, losses = parallel.fit_batch_device_converged(
+            sstate, sdata, scfg, 10, check_every=10)
+        recs = stream.stream_records(out, losses, aux)
+        seds = np.asarray(out.seds[0][0])        # (n_slots, C)
+        morphs = np.asarray(out.morphs[0][0])    # (n_slots, S, S)
+        origins = np.asarray(out.origins[0][0])  # (n_slots, 2)
+        on = np.asarray(out.comp_active[0][0])
+        slot_src = np.asarray(aux["slot_source"][0])
+        C, S = seds.shape[1], morphs.shape[-1]
+        H, W = scfg.scene_shape[-2:]
+        K = recs[0]["centroid"].shape[0]
+        for s in range(K):
+            model = np.zeros((C, H + 2 * S, W + 2 * S))
+            for k in range(len(slot_src)):
+                if not on[k] or slot_src[k] != s:
+                    continue
+                oy, ox = origins[k] + S
+                model[:, oy:oy + S, ox:ox + S] += (
+                    seds[k][:, None, None] * morphs[k][None])
+            if model.sum() == 0:
+                continue
+            cen = measure.centroid(model)[-2:] - S
+            np.testing.assert_allclose(recs[0]["centroid"][s], cen,
+                                       rtol=1e-5, atol=1e-4)
 
     def test_weighted_flux_matches_host(self, hsc, host_setup,
                                         stream_setup_out):
