@@ -726,6 +726,7 @@ def stream_records(state, losses, aux, data=None, config=None,
     # physical active slots (aux["n_active"] counts desired components,
     # which exceeds this when a blend overflows n_slots)
     n_act = np.asarray(state.comp_active[0]).sum(axis=1)
+    snr_init = np.asarray(aux["snr"])
     losses = np.asarray(losses)
     records = []
     for b in range(per_source.shape[0]):
@@ -736,6 +737,10 @@ def stream_records(state, losses, aux, data=None, config=None,
             "n_components": int(n_act[b]),
             "flux": per_source[b],
             "centroid": centroids[b],
+            # PSF-weighted detection SNR per source from the device init
+            # (ref scarlet/lite/measure.py calculate_snr) — the quantity
+            # the init's bulge/disk split gates on
+            "snr": snr_init[b],
         })
     return records
 

@@ -116,6 +116,8 @@ class TestStreamInit:
         assert recs[0]["logL"] > recs[0]["init logL"]
         assert recs[0]["flux"].shape == (7, 5)
         assert recs[0]["centroid"].shape == (7, 2)
+        assert recs[0]["snr"].shape == (7,)
+        assert np.all(recs[0]["snr"] > 0)
 
     def test_record_centroids_match_host_measure(self, stream_setup_out):
         """Device centroids == measure.centroid on the assembled
