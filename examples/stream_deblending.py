@@ -56,6 +56,9 @@ print(f"blend 0: {r['n_components']} components, {r['iterations']} its, "
       f"logL {r['logL']:.1f}")
 print("per-source flux (summed over bands):",
       np.round(np.asarray(r["flux"]).sum(axis=1), 1))
+print("per-source centroids (y, x):",
+      np.round(np.asarray(r["centroid"]), 1))
+print("per-source detection SNR:", np.round(np.asarray(r["snr"]), 1))
 assert all(np.isfinite(rec["logL"]) for rec in records)
 assert all(rec["logL"] > rec["init logL"] for rec in records)
 

@@ -129,7 +129,8 @@ def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
 
     All blends in the set must share one (C, H, W) (the generated sets
     do); heterogeneous source counts pad through ``center_active``.
-    Returns (records, flux) with flux[i] the (K_i, C) per-source fluxes.
+    Returns (records, flux, centroids) with flux[i] the (K_i, C)
+    per-source fluxes and centroids[i] the (K_i, 2) scene positions.
     """
     from . import settings
     from .. import lite, parallel
@@ -177,7 +178,7 @@ def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
         max_iter=max_iter, e_rel=e_rel, min_snr=min_snr, reweight=reweight)
     total = time.perf_counter() - t0
 
-    records, flux = [], []
+    records, flux, cents = [], [], []
     for b, raw in enumerate(records_raw):
         k = len(centers_l[b])
         records.append({
@@ -191,7 +192,8 @@ def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
             "n_sources": k,
         })
         flux.append(np.asarray(raw["flux"])[:k])
-    return records, flux
+        cents.append(np.asarray(raw["centroid"])[:k])
+    return records, flux, cents
 
 
 def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
@@ -215,12 +217,13 @@ def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
             datas = [np.load(p, allow_pickle=True) for p in blend_paths]
 
             if pipeline == "stream":
-                records, fluxes = deblend_stream_batch(
+                records, fluxes, cents = deblend_stream_batch(
                     datas, max_iter=max_iter, e_rel=e_rel)
-                for rec, data, path, fl in zip(records, datas, blend_paths,
-                                               fluxes):
+                for rec, data, path, fl, ce in zip(records, datas,
+                                                   blend_paths, fluxes,
+                                                   cents):
                     rec["sources"] = measure_flux_records(
-                        fl, data["catalog"], _channels(data))
+                        fl, data["catalog"], _channels(data), centroids=ce)
                     rec["blend"] = pathlib.Path(path).name
             elif pipeline == "lite":
                 blends, records = deblend_lite_batch(datas, max_iter=max_iter,

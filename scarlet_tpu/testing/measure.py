@@ -21,6 +21,8 @@ measurements = {
     "i diff": "magnitude error (i)",
     "z diff": "magnitude error (z)",
     "y diff": "magnitude error (y)",
+    # beyond the reference's photometry-only set: astrometric recovery
+    "pos diff": "centroid error vs truth position (px)",
 }
 
 
@@ -45,9 +47,33 @@ def _truth_diff(rec, row, channels, flux):
             rec[f"{c} diff"] = float(d)
 
 
+def _truth_pos(rec, row, cen_yx):
+    """Astrometric error vs the catalog position (px), when both exist."""
+    if cen_yx is None or row is None:
+        return
+    names = row.dtype.names or ()
+    if "y" not in names or "x" not in names:
+        return
+    cen_yx = np.asarray(cen_yx, float)
+    if not np.all(np.isfinite(cen_yx)):
+        return
+    rec["pos diff"] = float(np.hypot(cen_yx[0] - float(row["y"]),
+                                     cen_yx[1] - float(row["x"])))
+
+
+def _model_centroid(src):
+    """(y, x) scene centroid of a source's model, or None for an empty
+    model (measure.centroid divides by the total)."""
+    model = np.asarray(src.get_model())
+    if not np.any(model > 0):
+        return None
+    return np.asarray(measure_mod.centroid(src))[-2:]
+
+
 def measure_lite_sources(sources, catalog, channels):
     """Per-source flux (redistributed ``weight_sources`` flux when present,
-    model flux otherwise) and per-band magnitude error vs catalog truth."""
+    model flux otherwise), centroid, and per-band magnitude / position
+    error vs catalog truth."""
     records = []
     for src, row in zip(sources, catalog):
         if getattr(src, "flux", None) is not None:
@@ -56,29 +82,37 @@ def measure_lite_sources(sources, catalog, channels):
             flux = np.asarray(src.get_model()).sum(axis=(-2, -1))
         rec = {"flux": flux.tolist()}
         _truth_diff(rec, row, channels, flux)
+        _truth_pos(rec, row, _model_centroid(src))
         records.append(rec)
     return records
 
 
-def measure_flux_records(fluxes, catalog, channels):
+def measure_flux_records(fluxes, catalog, channels, centroids=None):
     """Per-source flux + per-band magnitude error from raw (K, C) flux
-    arrays (the device stream path's measurement output)."""
+    arrays (the device stream path's measurement output); with
+    ``centroids`` (K, 2 per blend, scene coords) also the position
+    error."""
     records = []
-    for flux, row in zip(fluxes, catalog):
+    if centroids is None:
+        centroids = [None] * len(catalog)
+    for flux, row, cen in zip(fluxes, catalog, centroids):
         flux = np.asarray(flux)
         rec = {"flux": flux.tolist()}
         _truth_diff(rec, row, channels, flux)
+        _truth_pos(rec, row, cen)
         records.append(rec)
     return records
 
 
 def measure_sources(sources, catalog, channels):
-    """Per-source flux and per-band magnitude error vs catalog truth
-    (when the catalog carries intensity_<band> truth images)."""
+    """Per-source flux, centroid, and per-band magnitude / position error
+    vs catalog truth (when the catalog carries intensity_<band> truth
+    images)."""
     records = []
     for src, row in zip(sources, catalog):
         flux = np.asarray(measure_mod.flux(src))
         rec = {"flux": flux.tolist()}
         _truth_diff(rec, row, channels, flux)
+        _truth_pos(rec, row, _model_centroid(src))
         records.append(rec)
     return records

@@ -96,7 +96,7 @@ class TestStreamInit:
         s_logL = float(sout.last_loss[0])
         assert abs(s_logL - h_logL) < 5e-3 * abs(h_logL)
 
-        flux = np.asarray(stream._stream_records_device(sout, aux))[0]
+        flux = np.asarray(stream._stream_records_device(sout, aux)[0])[0]
         hflux = (np.asarray(hout.seds[0][0])
                  * np.asarray(hout.morphs[0][0]).sum(axis=(1, 2))[:, None])
         slot_src = [0, 0, 1, 1, 2, 2, 3, 4, 5, 6]

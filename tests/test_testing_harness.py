@@ -70,6 +70,8 @@ class TestBatchedPipeline:
             # per-band magnitude errors vs the truth catalog
             diffs = [s for s in rec["sources"] if "r diff" in s]
             assert diffs, "no truth-matched sources measured"
+            pos = [s["pos diff"] for s in rec["sources"] if "pos diff" in s]
+            assert pos and np.median(pos) < 2.0, pos
 
         # records landed in the store
         stored = testing.load_records(91, branch="test", root=root)
@@ -121,3 +123,6 @@ class TestStreamPipeline:
             assert rec["logL"] > rec["init logL"]
             diffs = [s for s in rec["sources"] if "r diff" in s]
             assert diffs, "no truth-matched sources measured"
+            pos = [s["pos diff"] for s in rec["sources"] if "pos diff" in s]
+            assert pos, "no astrometric errors measured"
+            assert np.median(pos) < 2.0, pos
