@@ -34,13 +34,18 @@ _w = 0.5 * _weights
 # substitution t = s/(1-s): dt = ds / (1-s)^2
 _t = _s / (1.0 - _s)
 _jac = 1.0 / (1.0 - _s) ** 2
-_T = jnp.asarray(_t)
-_WJ = jnp.asarray(_w * _jac)
+# the node tables stay HOST numpy at import: a module-level jnp.asarray
+# would initialize the JAX backend at `import scarlet_tpu` time, which
+# hangs any process when the pinned accelerator is unreachable and
+# defeats later jax_platforms pins (conversion below is per-call but the
+# tables are 256 floats; under jit they fold into compile-time constants)
+_T = _t
+_WJ = _w * _jac
 # clip cosh to the float64 max: nodes near s=1 have cosh overflow to inf and
 # would turn exp(-x*inf) into nan via inf*0 paths; the clipped tail still
 # underflows exp to exactly 0
 with np.errstate(over="ignore"):
-    _COSH_T = jnp.asarray(np.minimum(np.cosh(_t), 1e300))
+    _COSH_T = np.minimum(np.cosh(_t), 1e300)
 
 
 def _kv_primal(nu, x):

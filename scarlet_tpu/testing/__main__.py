@@ -32,7 +32,18 @@ def main(argv=None):
                    help="also write each set's records as the committed "
                         "baseline (scarlet_tpu/testing/baselines/"
                         "set<id>.json)")
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the default accelerator backend; by "
+                        "default the harness pins the CPU backend (the "
+                        "environment's sitecustomize may pin a TPU tunnel "
+                        "that is not always reachable, and the harness "
+                        "is a host-side tool)")
     args = p.parse_args(argv)
+
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from .api import deblend_and_measure
 
