@@ -1,5 +1,7 @@
 """The public API surface the reference exposes (scarlet/__init__.py:1-61
 plus module namespaces) must exist here so a reference user can switch."""
+import os
+
 import numpy as np
 
 import scarlet_tpu as st
@@ -79,3 +81,30 @@ def test_profiling_utils():
     with annotate("scarlet-test"):
         out = sync(f(jnp.ones((4,))))
     assert float(out[0]) == 2.0
+
+
+def test_import_is_backend_neutral():
+    """`import scarlet_tpu` must not initialize any JAX backend: a
+    module-level device array would hang every consumer when the
+    environment pins an unreachable accelerator, and would defeat
+    consumers' later jax_platforms pins (regression: ops/special's
+    quadrature tables)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import scarlet_tpu, scarlet_tpu.testing, scarlet_tpu.parallel\n"
+        "from jax._src import xla_bridge as xb\n"
+        "assert not xb.backends_are_initialized(), 'import initialized a backend'\n"
+        "print('neutral')\n"
+    )
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # no JAX_PLATFORMS / config pin: the import must be safe even when
+    # the environment's default backend is an unreachable tunnel
+    result = subprocess.run([sys.executable, "-c", code],
+                            capture_output=True, text=True, timeout=240,
+                            env=env)
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "neutral" in result.stdout
