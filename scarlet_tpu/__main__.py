@@ -2,10 +2,12 @@
 
     python -m scarlet_tpu deblend 'blends/*.npz' --out results.json
 
-Each npz must hold ``images`` (C, H, W), ``psfs`` (C, h, w), and a
-``catalog`` with per-source ``y``/``x`` columns; ``variance`` is optional
-(estimated by per-band MAD when absent) — the same conventions as the
-reference's blend-set files (ref scarlet/testing/deblend.py:9-50).
+Each npz must hold ``images`` (C, H, W) and ``psfs`` (C, h, w) — the
+same conventions as the reference's blend-set files (ref
+scarlet/testing/deblend.py:9-50).  ``variance`` is optional (estimated
+by per-band MAD when absent), and so is the ``catalog`` of ``y``/``x``
+peak positions: files without one (or with ``--detect``) run the host
+wavelet detection first.
 Blends are grouped by scene shape and each group runs as one stream
 batch (`parallel.deblend_device_stream`): device-side init + compiled
 convergence fit + per-source measurement, no per-blend host work.
@@ -22,7 +24,7 @@ import sys
 import time
 
 
-def _load_blend(path):
+def _load_blend(path, detect=False):
     import numpy as np
 
     data = np.load(path, allow_pickle=True)
@@ -34,8 +36,18 @@ def _load_blend(path):
                           for b in im])
         var = np.ones_like(im) * (sigma ** 2)[:, None, None]
     psfs = np.asarray(data["psfs"]).astype(np.float32)
-    centers = [(int(np.round(r["y"])), int(np.round(r["x"])))
-               for r in data["catalog"]]
+    if "catalog" in data and not detect:
+        centers = [(int(np.round(r["y"])), int(np.round(r["x"])))
+                   for r in data["catalog"]]
+    else:
+        # no catalog (or --detect): host-side wavelet detection
+        # (ref scarlet/detect.py:517-572 peak flow)
+        from scarlet_tpu.detect import get_peaks
+
+        centers = [(int(np.round(y)), int(np.round(x)))
+                   for y, x in get_peaks(images=im, variance=var)]
+        if not centers:
+            centers = [(im.shape[1] // 2, im.shape[2] // 2)]
     return im, var, psfs, centers
 
 
@@ -65,6 +77,10 @@ def deblend_main(argv=None):
                    help="report observed-flux redistribution instead of "
                         "model fluxes")
     p.add_argument("--recipe", choices=["main", "wavelets"], default="main")
+    p.add_argument("--detect", action="store_true",
+                   help="ignore any bundled catalog and detect peaks with "
+                        "the host wavelet detection (files WITHOUT a "
+                        "catalog are always detected)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (default: whatever JAX "
                         "selects, i.e. the TPU when attached)")
@@ -87,7 +103,7 @@ def deblend_main(argv=None):
     from scarlet_tpu import lite, parallel
 
     t0 = time.perf_counter()
-    blends = [_load_blend(path) for path in paths]
+    blends = [_load_blend(path, detect=args.detect) for path in paths]
     model_psf = lite.integrated_circular_gaussian(
         sigma=args.model_psf_sigma)[None].astype(np.float32)
 

@@ -33,6 +33,12 @@ def blend_files(tmp_path_factory):
     np.savez_compressed(path, images=b["images"], psfs=b["psfs"],
                         catalog=b["catalog"])
     paths.append(str(path))
+    # one blend without a catalog (CLI runs host wavelet detection)
+    b = generate_blend(rng)
+    path = root / "blend_nocat.npz"
+    np.savez_compressed(path, images=b["images"], variance=b["variance"],
+                        psfs=b["psfs"])
+    paths.append(str(path))
     return root, paths
 
 
