@@ -34,13 +34,19 @@ def _load_blend(path, detect=False):
     else:
         sigma = np.array([1.4826 * np.median(np.abs(b - np.median(b)))
                           for b in im])
+        # a constant (dead/masked) band has MAD 0 — weight 1/var would
+        # blow up and dominate the fit; floor it at the cross-band level
+        pos = sigma[sigma > 0]
+        sigma = np.where(sigma > 0, sigma,
+                         np.median(pos) if pos.size else 1.0)
         var = np.ones_like(im) * (sigma ** 2)[:, None, None]
     psfs = np.asarray(data["psfs"]).astype(np.float32)
+    centers = []
     if "catalog" in data and not detect:
         centers = [(int(np.round(r["y"])), int(np.round(r["x"])))
                    for r in data["catalog"]]
-    else:
-        # no catalog (or --detect): host-side wavelet detection
+    if not centers:
+        # no/empty catalog (or --detect): host-side wavelet detection
         # (ref scarlet/detect.py:517-572 peak flow)
         from scarlet_tpu.detect import get_peaks
 
@@ -107,13 +113,14 @@ def deblend_main(argv=None):
     model_psf = lite.integrated_circular_gaussian(
         sigma=args.model_psf_sigma)[None].astype(np.float32)
 
-    # group by scene shape: each stream batch needs one static layout
+    # group by scene AND psf stamp shape: each stream batch stacks both
+    # into one static layout
     groups = {}
     for i, (im, var, psfs, centers) in enumerate(blends):
-        groups.setdefault(im.shape, []).append(i)
+        groups.setdefault((im.shape, psfs.shape), []).append(i)
 
     records = [None] * len(paths)
-    for shape, idxs in groups.items():
+    for (shape, _), idxs in groups.items():
         C, H, W = shape
         K = max(len(blends[i][3]) for i in idxs)
         carr = np.zeros((len(idxs), K, 2), np.int32)
@@ -148,7 +155,11 @@ def deblend_main(argv=None):
                 "logL": float(r["logL"]),
                 "init_logL": float(r["init logL"]),
                 "flux": np.asarray(r["flux"])[:k].tolist(),
-                "centroid": np.asarray(r["centroid"])[:k].tolist(),
+                # NaN centroid = source got no component slots (overflow);
+                # emit null for strict-JSON consumers
+                "centroid": [
+                    [None if not np.isfinite(v) else float(v) for v in c]
+                    for c in np.asarray(r["centroid"])[:k]],
                 "snr": np.asarray(r["snr"])[:k].tolist(),
             }
     dt = time.perf_counter() - t0

@@ -668,6 +668,10 @@ def _stream_records_device(state, aux):
     cen_y = vseg((wslot * cy)[..., None], src)[..., 0] / wsafe
     cen_x = vseg((wslot * cx)[..., None], src)[..., 0] / wsafe
     centroid = jnp.stack([cen_y, cen_x], axis=-1)         # (B, K, 2)
+    # a source with no active slots (slot overflow, zero flux) has no
+    # centroid — NaN, not (0, 0), so consumers (pos-diff metric, CLI)
+    # can tell "unmeasured" from "at the origin"
+    centroid = jnp.where(wsum[..., None] != 0, centroid, jnp.nan)
     return per_source, centroid
 
 

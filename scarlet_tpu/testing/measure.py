@@ -63,11 +63,13 @@ def _truth_pos(rec, row, cen_yx):
 
 def _model_centroid(src):
     """(y, x) scene centroid of a source's model, or None for an empty
-    model (measure.centroid divides by the total)."""
+    model (measure.centroid divides by the total).  Assembles the model
+    once and adds the box origin itself."""
     model = np.asarray(src.get_model())
     if not np.any(model > 0):
         return None
-    return np.asarray(measure_mod.centroid(src))[-2:]
+    cen = np.asarray(measure_mod.centroid(model))[-2:]
+    return cen + np.asarray(src.bbox.origin)[-2:]
 
 
 def measure_lite_sources(sources, catalog, channels):

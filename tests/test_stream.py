@@ -228,13 +228,25 @@ class TestStreamInit:
         assert int(np.asarray(aux["n_active"])[0]) == int(on.sum())
 
     def test_overflow_flag(self, hsc):
-        """More active components than slots sets the overflow flag."""
+        """More active components than slots sets the overflow flag, and
+        slotless sources report NaN centroids (not (0, 0)) so the
+        pos-diff metric and CLI can skip them."""
         cfg, data, state, aux = stream.stream_setup(
             hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
             np.asarray(hsc["centers"])[None], hsc["model_psf"],
             box_size=59, n_slots=4)
         assert bool(np.asarray(aux["overflow"])[0])
         assert int(np.asarray(state.comp_active[0][0]).sum()) == 4
+
+        flux, cen = stream._stream_records_device(state, aux)
+        cen = np.asarray(cen)[0]
+        slotted = np.unique(np.asarray(aux["slot_source"][0])[
+            np.asarray(state.comp_active[0][0])])
+        for s in range(cen.shape[0]):
+            if s in slotted:
+                assert np.all(np.isfinite(cen[s])), (s, cen[s])
+            else:
+                assert np.all(np.isnan(cen[s])), (s, cen[s])
 
     def test_stream_sharded_over_mesh(self, hsc):
         """Blends-axis GSPMD sharding propagates through the device init
