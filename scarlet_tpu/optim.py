@@ -102,10 +102,12 @@ def phi_psi(scheme, it, g, state, b1=0.9, b2=0.999, eps=1e-8, p=0.25):
         phi = m
         psi = vhat ** p + eps
     elif scheme == "adamx":
-        # Phuong & Phong 2019: decay the running max by the momentum ratio
-        factor = jnp.where(
-            it > 0, (1 - b1 ** t) ** 2 / (1 - b1 ** (t - 1)) ** 2, 1.0
-        )
+        # Phuong & Phong 2019: decay the running max by the momentum ratio.
+        # The guard keeps the it==0 branch finite: its denominator
+        # (1-b1^0)^2 == 0 would otherwise divide by zero eagerly for plain
+        # python scalars (and ride through as a masked inf when traced).
+        denom = jnp.maximum((1 - b1 ** (jnp.asarray(t) - 1)) ** 2, eps)
+        factor = jnp.where(it > 0, (1 - b1 ** t) ** 2 / denom, 1.0)
         vhat = jnp.maximum(factor * state.vhat, v)
         phi = m
         psi = jnp.sqrt(vhat) + eps
