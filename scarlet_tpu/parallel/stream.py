@@ -498,7 +498,10 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     model_psf : (1, mh, mw) target (model-frame) PSF.
     weights : optional (B, C, H, W); default
         scene_valid/max(variance, 1e-12) — padding pixels get weight 0
-        automatically.
+        automatically.  Non-finite data/variance pixels are always
+        zeroed out of both the images and the weights (masked-pixel
+        sanitization; NaNs would otherwise poison the fit at any
+        weight).
     center_active : optional (B, K) bool; default all on.
     scene_valid : optional (B, H, W) mask of real pixels, for streams of
         heterogeneous crops zero-padded to one (H, W): pad images/variance
@@ -542,14 +545,28 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         scene_valid = jnp.ones((B, H, W), images.dtype)
     else:
         scene_valid = jnp.asarray(scene_valid).astype(images.dtype)
+    # Sanitize non-finite pixels (masked regions in real survey cutouts
+    # arrive as NaN/inf): a NaN data pixel poisons the whole fit even at
+    # weight 0 (0*NaN = NaN in the gradient), so bad pixels are zeroed,
+    # excluded from the weights, and given the per-band mean finite
+    # variance so the init-time noise estimates stay unbiased.  All of
+    # this is bitwise inert for finite inputs.
+    bad = ~(jnp.isfinite(images) & jnp.isfinite(variance))
+    images = jnp.where(bad, 0.0, images)
+    vcnt = jnp.maximum(jnp.sum(~bad, axis=(-2, -1)), 1)
+    vfill = (jnp.sum(jnp.where(bad, 0.0, variance), axis=(-2, -1))
+             / vcnt)[..., None, None]
+    variance = jnp.where(bad, vfill, variance)
     if weights is None:
         # padding pixels of zero-padded heterogeneous crops have
         # variance 0: without the scene_valid factor they would get
         # weight 1e12 and the convolved model's leak past the true scene
         # edge would dominate every gradient
-        weights = scene_valid[:, None] / jnp.maximum(variance, 1e-12)
+        weights = (scene_valid[:, None] * jnp.where(bad, 0.0, 1.0)
+                   / jnp.maximum(variance, 1e-12))
     else:
         weights = jnp.asarray(weights)
+        weights = jnp.where(bad | ~jnp.isfinite(weights), 0.0, weights)
 
     if fft_shape is None:
         fft_shape = fft_ops.minimal_same_fft_shape(

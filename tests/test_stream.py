@@ -558,3 +558,39 @@ class TestStreamUseMask:
             sstate, sdata, scfg, 30, check_every=30)
         np.testing.assert_allclose(float(sout.last_loss[0]),
                                    float(hout.last_loss[0]), rtol=1e-3)
+
+
+class TestSanitization:
+    def test_nonfinite_pixels_do_not_poison(self, hsc):
+        """Masked survey pixels arrive as NaN/inf; a NaN data pixel would
+        poison the whole fit at ANY weight (0*NaN = NaN in the gradient),
+        so stream_setup zeroes bad pixels out of the images and weights
+        (with a per-band mean variance fill keeping the init-time noise
+        estimates unbiased)."""
+        images = np.stack([hsc["images"]] * 3).copy()
+        variance = np.stack([hsc["variance"]] * 3).copy()
+        psfs = np.stack([hsc["psfs"]] * 3)
+        centers = np.stack([np.asarray(hsc["centers"])] * 3)
+        # blend 1: NaN data, explicit zero weights there (reference-style
+        # masking); blend 2: NaN data + inf variance, default weights
+        images[1, :, 10:12, 10:12] = np.nan
+        images[2, :, 30:32, 20:22] = np.nan
+        variance[2, :, 30:32, 20:22] = np.inf
+        weights = 1.0 / np.maximum(variance, 1e-12)
+        weights[1, :, 10:12, 10:12] = 0.0
+
+        recs, *_ = parallel.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"],
+            weights=weights, box_size=59, n_slots=12, max_iter=10,
+            check_every=5)
+        recs_default, *_ = parallel.deblend_device_stream(
+            images, variance, psfs, centers, hsc["model_psf"],
+            box_size=59, n_slots=12, max_iter=10, check_every=5)
+        for rs in (recs, recs_default):
+            clean = rs[0]["logL"]
+            assert np.isfinite(clean)
+            for r in rs:
+                assert np.isfinite(r["logL"])
+                assert np.all(np.isfinite(np.asarray(r["flux"])))
+                # same scene minus 4 masked pixels: logL stays close
+                assert abs(r["logL"] - clean) < 0.05 * abs(clean)
