@@ -494,7 +494,10 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     images, variance : (B, C, H, W) float32 stacks.
     psfs : (B, C, ph, pw) per-band observed PSFs.
     centers : (B, K, 2) integer (y, x) peak positions; pad unused rows
-        anywhere in-image and mark them in ``center_active``.
+        anywhere in-image and mark them in ``center_active``.  Rows
+        outside the frame (or on zero pixels of ``scene_valid``) are
+        deactivated automatically — the device analog of the host
+        recipe's skip list.
     model_psf : (1, mh, mw) target (model-frame) PSF.
     weights : optional (B, C, H, W); default
         scene_valid/max(variance, 1e-12) — padding pixels get weight 0
@@ -545,6 +548,17 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         scene_valid = jnp.ones((B, H, W), images.dtype)
     else:
         scene_valid = jnp.asarray(scene_valid).astype(images.dtype)
+    # Out-of-frame catalog rows (common when detections come from a larger
+    # field) and rows landing in the zero padding of heterogeneous crops
+    # would otherwise seed clamped edge sources that wreck the fit;
+    # deactivate them exactly like the host recipe's skip list
+    # (ref initialization.py:287-363 silently skips failed centers).
+    in_bounds = ((centers[..., 0] >= 0) & (centers[..., 0] < H)
+                 & (centers[..., 1] >= 0) & (centers[..., 1] < W))
+    cy = jnp.clip(centers[..., 0], 0, H - 1)
+    cx = jnp.clip(centers[..., 1], 0, W - 1)
+    on_valid = scene_valid[jnp.arange(B)[:, None], cy, cx] > 0
+    center_active = center_active & in_bounds & on_valid
     # Sanitize non-finite pixels (masked regions in real survey cutouts
     # arrive as NaN/inf): a NaN data pixel poisons the whole fit even at
     # weight 0 (0*NaN = NaN in the gradient), so bad pixels are zeroed,

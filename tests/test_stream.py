@@ -594,3 +594,31 @@ class TestSanitization:
                 assert np.all(np.isfinite(np.asarray(r["flux"])))
                 # same scene minus 4 masked pixels: logL stays close
                 assert abs(r["logL"] - clean) < 0.05 * abs(clean)
+
+    def test_out_of_frame_centers_auto_deactivated(self, hsc):
+        """Catalog rows outside the frame equal an explicit
+        center_active=False mask (the host skip-list analog) instead of
+        seeding clamped edge sources."""
+        H, W = hsc["images"].shape[1:]
+        good = np.asarray(hsc["centers"], np.int32)
+        bad = np.array([[-3, 10], [H + 4, W + 9]], np.int32)
+        centers = np.concatenate([good, bad])[None]
+
+        auto = stream.stream_setup(
+            hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
+            centers, hsc["model_psf"], box_size=59, n_slots=12)
+        explicit_mask = np.ones(centers.shape[:2], bool)
+        explicit_mask[0, len(good):] = False
+        explicit = stream.stream_setup(
+            hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
+            centers, hsc["model_psf"], center_active=explicit_mask,
+            box_size=59, n_slots=12)
+
+        _, _, astate, aaux = auto
+        _, _, estate, eaux = explicit
+        assert int(np.asarray(aaux["n_active"])[0]) == \
+            int(np.asarray(eaux["n_active"])[0])
+        np.testing.assert_array_equal(np.asarray(astate.comp_active[0]),
+                                      np.asarray(estate.comp_active[0]))
+        np.testing.assert_array_equal(np.asarray(astate.morphs[0]),
+                                      np.asarray(estate.morphs[0]))
