@@ -622,3 +622,21 @@ class TestSanitization:
                                       np.asarray(estate.comp_active[0]))
         np.testing.assert_array_equal(np.asarray(astate.morphs[0]),
                                       np.asarray(estate.morphs[0]))
+
+    def test_empty_blend_in_batch(self, hsc):
+        """A blend whose every center is inert (e.g. a fully out-of-frame
+        catalog) fits as an empty model without poisoning the batch."""
+        good = np.asarray(hsc["centers"], np.int32)
+        centers = np.stack([good, np.full_like(good, -5)])
+        ims = np.stack([hsc["images"]] * 2)
+        var = np.stack([hsc["variance"]] * 2)
+        ps = np.stack([hsc["psfs"]] * 2)
+        recs, *_ = parallel.deblend_device_stream(
+            ims, var, ps, centers, hsc["model_psf"], box_size=59,
+            n_slots=12, max_iter=10, check_every=5)
+        # SNR-gated bulge-disk splits can exceed the center count
+        assert recs[0]["n_components"] >= len(good)
+        assert recs[1]["n_components"] == 0
+        assert np.isfinite(recs[0]["logL"]) and np.isfinite(recs[1]["logL"])
+        flux1 = np.asarray(recs[1]["flux"])
+        assert np.all((flux1 == 0) | np.isnan(flux1))
