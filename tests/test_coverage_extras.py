@@ -439,3 +439,35 @@ class TestMeasureMaxPixel:
                 return m
 
         assert measure.max_pixel(FakeComponent()) == (0, 11, 22)
+
+
+# ---------------------------------------------------------------------------
+# Detection wavelet coadd variants (ref scarlet/detect.py:388-440)
+# ---------------------------------------------------------------------------
+class TestDetectionWavelets:
+    def test_get_wavelets_per_band(self):
+        """Per-band masked starlets: (scales+1, bands, H, W), each band's
+        plane equal to masking that band alone."""
+        from scarlet_tpu import detect as det
+        from scarlet_tpu.ops import wavelet
+
+        rng = np.random.RandomState(3)
+        yy, xx = np.mgrid[:32, :32]
+        blob = 8 * np.exp(-((yy - 16) ** 2 + (xx - 16) ** 2) / 12.0)
+        images = np.stack([blob * a for a in (1.0, 0.5)])
+        images += rng.randn(*images.shape) * 0.1
+        variance = np.full_like(images, 0.01)
+
+        out = det.get_wavelets(images, variance, scales=3)
+        assert out.shape == (4, 2, 32, 32)
+
+        for b in range(2):
+            coeffs = np.asarray(wavelet.starlet_transform(images[b], scales=3))
+            M = wavelet.get_multiresolution_support(
+                images[b], coeffs, 0.1, K=3, epsilon=1e-1, max_iter=20)
+            assert_allclose(out[:, b], M * coeffs, rtol=1e-12)
+
+        # the coadd variant masks the band sum
+        det_out = det.get_detect_wavelets(images, variance, scales=3)
+        assert det_out.shape == (4, 32, 32)
+        assert np.any(det_out != 0)
