@@ -565,7 +565,11 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     # excluded from the weights, and given the per-band mean finite
     # variance so the init-time noise estimates stay unbiased.  All of
     # this is bitwise inert for finite inputs.
-    bad = ~(jnp.isfinite(images) & jnp.isfinite(variance))
+    # negative variance is corrupt input too: sqrt(variance) in the init
+    # noise estimates would turn it into NaN (variance 0 stays legal —
+    # it is the heterogeneous-crop padding convention)
+    bad = (~(jnp.isfinite(images) & jnp.isfinite(variance))
+           | (variance < 0))
     images = jnp.where(bad, 0.0, images)
     vcnt = jnp.maximum(jnp.sum(~bad, axis=(-2, -1)), 1)
     vfill = (jnp.sum(jnp.where(bad, 0.0, variance), axis=(-2, -1))

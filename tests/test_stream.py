@@ -572,10 +572,13 @@ class TestSanitization:
         psfs = np.stack([hsc["psfs"]] * 3)
         centers = np.stack([np.asarray(hsc["centers"])] * 3)
         # blend 1: NaN data, explicit zero weights there (reference-style
-        # masking); blend 2: NaN data + inf variance, default weights
+        # masking); blend 2: NaN data + inf variance + a corrupt NEGATIVE
+        # variance patch (sqrt would NaN the init noise estimates),
+        # default weights
         images[1, :, 10:12, 10:12] = np.nan
         images[2, :, 30:32, 20:22] = np.nan
         variance[2, :, 30:32, 20:22] = np.inf
+        variance[2, :, 40:42, 8:10] = -1.0
         weights = 1.0 / np.maximum(variance, 1e-12)
         weights[1, :, 10:12, 10:12] = 0.0
 
