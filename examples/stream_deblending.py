@@ -77,4 +77,16 @@ print("wavelet-recipe blend 0:",
       f"{wrecords[0]['n_components']} components, "
       f"logL {wrecords[0]['logL']:.1f}")
 assert all(np.isfinite(rec["logL"]) for rec in wrecords)
+
+# ---- catalog-free: detect ON DEVICE ---------------------------------------
+# centers=None runs `parallel.detect_peaks_device` (the reference's
+# starlet-footprint peak recipe as one vmapped XLA program) per chunk:
+# raw pixels -> catalog -> fluxes with no host-side detection at all.
+drecords, _, _, daux = parallel.deblend_device_stream(
+    stack_images[:4], stack_var[:4], stack_psfs[:4], None, model_psf,
+    box_size=59, n_slots=10, max_iter=MAX_ITER, check_every=MAX_ITER)
+det = np.asarray(daux["centers"][0])[np.asarray(daux["center_active"][0])]
+print(f"device detection blend 0: {len(det)} peaks "
+      f"(catalog has {len(centers)}), logL {drecords[0]['logL']:.1f}")
+assert all(np.isfinite(rec["logL"]) for rec in drecords)
 print("OK")
