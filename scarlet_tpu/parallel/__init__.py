@@ -32,3 +32,7 @@ from .detection import (  # noqa: F401
     detect_peaks_device,
     label_components_device,
 )
+from .multires import (  # noqa: F401
+    MultiResFitter,
+    multires_init,
+)
