@@ -84,3 +84,29 @@ render_lr = np.asarray(obs_lr.render(model))[0]
 sdr = 10 * np.log10(np.sum(data_lr ** 2) ** 0.5
                     / np.sum((data_lr - render_lr) ** 2) ** 0.5)
 print(f"LR render SDR vs data: {sdr:.1f} dB")
+
+# ---- the same joint fit, BATCHED (parallel.multires) ----------------------
+# MultiResFitter compiles the whole adaprox loop over a batch of blends
+# sharing this instrument pair: here 3 flux-scaled variants fit jointly
+# against both observations as one program.
+from scarlet_tpu.parallel import MultiResFitter, multires_init
+
+scales = np.array([1.0, 0.7, 1.5], np.float32)
+d_hr = np.stack([data_hr[None] * s for s in scales])
+d_lr = np.stack([data_lr[None] * s for s in scales])
+w_hr = np.full_like(d_hr, 1e4)
+w_lr = np.full_like(d_lr, 1e4)
+centers = np.tile(np.asarray(
+    [np.asarray(model_frame.get_pixel(c), float) for c in sky_coords]
+)[None], (len(scales), 1, 1))
+
+fitter = MultiResFitter([obs_hr, obs_lr], box_size=31)
+init = multires_init([obs_hr, obs_lr], [d_hr, d_lr], centers,
+                     box_size=31, n_slots=3)
+seds, morphs, loss, iters, losses = fitter.fit(
+    [d_hr, d_lr], [w_hr, w_lr], *init, n_iter=max_iter * 2)
+flux = (np.asarray(seds).sum(-1) * np.asarray(morphs).sum((-2, -1))).sum(-1)
+print(f"batched joint fit ({len(scales)} blends): "
+      f"iters {np.asarray(iters).tolist()}, "
+      f"recovered flux ratios {np.round(flux / flux[0], 3).tolist()} "
+      f"(true {np.round(scales / scales[0], 3).tolist()})")
