@@ -43,6 +43,17 @@ def _load_blend(path, detect=None):
                          np.median(pos) if pos.size else 1.0)
         var = np.ones_like(im) * (sigma ** 2)[:, None, None]
     psfs = np.asarray(data["psfs"]).astype(np.float32)
+    # sanitize non-finite / negative-variance pixels up front (the same
+    # rules stream_setup applies on device) so host AND device detection
+    # see identical clean stacks — detect_peaks_device documents
+    # sanitized inputs as a precondition
+    bad = ~(np.isfinite(im) & np.isfinite(var)) | (var < 0)
+    if bad.any():
+        im = np.where(bad, np.float32(0), im)
+        vcnt = np.maximum((~bad).sum(axis=(-2, -1)), 1)
+        vfill = (np.where(bad, 0, var).sum(axis=(-2, -1))
+                 / vcnt)[:, None, None]
+        var = np.where(bad, vfill, var).astype(np.float32)
     centers = []
     if "catalog" in data and detect is None:
         centers = [(int(np.round(r["y"])), int(np.round(r["x"])))

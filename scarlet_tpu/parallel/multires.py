@@ -109,6 +109,7 @@ class MultiResFitter:
         self._max_prox_iter = int(max_prox_iter)
         self._fit_jit = jax.jit(self._fit_impl,
                                 static_argnames=("n_iter", "min_iter"))
+        self._render_jit = jax.jit(jax.vmap(self._render_one))
 
     # ---- per-blend pieces (vmapped inside the scan) ----
     def _loss_one(self, seds, morphs, origins, active, datas, weights):
@@ -209,8 +210,9 @@ class MultiResFitter:
         """
         datas = tuple(jnp.asarray(d, self.dtype) for d in datas)
         weights = tuple(jnp.asarray(w, self.dtype) for w in weights)
-        if len(datas) != len(self._transforms):
-            raise ValueError("one data/weights stack per observation")
+        if (len(datas) != len(self._transforms)
+                or len(weights) != len(self._transforms)):
+            raise ValueError("one data AND weights stack per observation")
         seds = jnp.asarray(seds, self.dtype)
         morphs = jnp.asarray(morphs, self.dtype)
         origins = jnp.asarray(origins, jnp.int32)
@@ -221,7 +223,9 @@ class MultiResFitter:
         if sed_step_min is None:
             mins = []
             for obs, w in zip(self.observations, weights):
-                med = np.asarray(jnp.median(
+                # nanmedian: zero-weight (masked/padding) pixels must not
+                # collapse the floor to NaN->0
+                med = np.asarray(jnp.nanmedian(
                     jnp.where(w > 0, w, jnp.nan), axis=(0, -2, -1)))
                 rms = 1.0 / np.sqrt(np.where(np.isfinite(med) & (med > 0),
                                              med, 1.0))
@@ -232,26 +236,28 @@ class MultiResFitter:
                 cmap = obs.renderer.channel_map
                 if cmap is None:
                     sed_step_min[:] = np.maximum(sed_step_min, m)
-                elif isinstance(cmap, slice):
-                    sed_step_min[cmap] = np.maximum(sed_step_min[cmap], m)
-                else:
+                elif isinstance(cmap, (slice, list)):
+                    idx = cmap if isinstance(cmap, slice) \
+                        else np.asarray(cmap)
+                    sed_step_min[idx] = np.maximum(sed_step_min[idx], m)
+                else:   # mixing matrix: adjoint scatter
                     sed_step_min += np.asarray(cmap).T @ m
         sed_step_min = jnp.asarray(sed_step_min, self.dtype)
         return self._fit_jit(seds, morphs, origins, active, datas,
                              weights, sed_step_min, n_iter=int(n_iter),
                              min_iter=int(min_iter))
 
+    def _render_one(self, seds, morphs, origins, active):
+        scene = _assemble_scene(seds, morphs, origins, active,
+                                self.scene_shape)
+        return tuple(t(scene) for t in self._transforms)
+
     def render_batch(self, seds, morphs, origins, active):
         """Batched per-observation renders of the fitted models."""
-        def one(seds, morphs, origins, active):
-            scene = _assemble_scene(jnp.asarray(seds, self.dtype),
-                                    jnp.asarray(morphs, self.dtype),
-                                    jnp.asarray(origins, jnp.int32),
-                                    jnp.asarray(active, bool),
-                                    self.scene_shape)
-            return tuple(t(scene) for t in self._transforms)
-
-        return jax.jit(jax.vmap(one))(seds, morphs, origins, active)
+        return self._render_jit(jnp.asarray(seds, self.dtype),
+                                jnp.asarray(morphs, self.dtype),
+                                jnp.asarray(origins, jnp.int32),
+                                jnp.asarray(active, bool))
 
     def log_norm(self, weights):
         """Per-blend Gaussian normalization constants (summed over
@@ -336,8 +342,10 @@ def multires_init(observations, datas, centers, *, box_size, n_slots,
                 cmap = obs.renderer.channel_map
                 if cmap is None:
                     seds[b, k] += spec
-                elif isinstance(cmap, slice):
-                    seds[b, k][cmap] += spec
-                else:
+                elif isinstance(cmap, (slice, list)):
+                    idx = cmap if isinstance(cmap, slice) \
+                        else np.asarray(cmap)
+                    seds[b, k][idx] += spec
+                else:   # mixing matrix: adjoint scatter
                     seds[b, k] += np.asarray(cmap).T @ spec
     return seds, morphs, origins, active

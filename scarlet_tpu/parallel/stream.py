@@ -108,14 +108,12 @@ def _wavelet_dictionaries(images, variance, scene_valid, n_scales,
     detectlets = sum of all detail scales, bulgelets = scales[:b],
     disklets = scales[b:-1].
     """
-    C = images.shape[0]
+    from .detection import _masked_median_sigma
+
     validb = scene_valid > 0.5
     detect_sum = jnp.where(validb, jnp.sum(images, 0), 0.0)
     # exact masked median of sqrt(variance) over valid pixels of all bands
-    sq = jnp.where(validb[None], jnp.sqrt(variance), jnp.inf)
-    flat = jnp.sort(sq.ravel())
-    nv = (C * jnp.sum(validb)).astype(jnp.int32)
-    sigma_w = 0.5 * (flat[(nv - 1) // 2] + flat[nv // 2])
+    sigma_w = _masked_median_sigma(variance, validb)
     coeffs = wavelet_ops.starlet_transform(detect_sum, scales=n_scales)
     M = wavelet_ops.multiresolution_support_jax(
         coeffs, sigma_w, K=3, epsilon=1e-1, max_iter=20, valid=scene_valid)

@@ -99,10 +99,15 @@ def test_deblend_cli_device_detection(blend_files, tmp_path):
     for rh, rd in zip(outs["host"]["records"], outs["device"]["records"]):
         assert rh["file"] == rd["file"]
         assert rh["n_sources"] == rd["n_sources"]
-        # same peak SET: centroids initialized at the same detections
-        # (ordering differs — host is footprint order, device is
-        # brightest-first)
         assert np.isfinite(rd["logL"])
+        # same peak SET -> same fitted sources; only the catalog ORDER
+        # differs (host is footprint order, device brightest-first), so
+        # the lexicographically sorted centroids must agree
+        ch = np.asarray(rh["centroid"], float)
+        cd = np.asarray(rd["centroid"], float)
+        ch = ch[np.lexsort(ch.T)]
+        cd = cd[np.lexsort(cd.T)]
+        np.testing.assert_allclose(cd, ch, atol=0.1)
 
 
 def test_cli_help():
