@@ -35,4 +35,5 @@ from .detection import (  # noqa: F401
 from .multires import (  # noqa: F401
     MultiResFitter,
     multires_init,
+    multires_records,
 )

@@ -46,7 +46,7 @@ from jax import lax
 from .. import optim
 from .stream import _centered_mono_table, _mono_project
 
-__all__ = ["MultiResFitter", "multires_init"]
+__all__ = ["MultiResFitter", "multires_init", "multires_records"]
 
 
 def _assemble_scene(seds, morphs, origins, active, scene_shape):
@@ -273,6 +273,47 @@ class MultiResFitter:
             total = total + D / 2 * np.log(2 * np.pi) \
                 - 0.5 * logw.sum(axis=(1, 2, 3))
         return total
+
+
+def multires_records(fitter, seds, morphs, origins, active, loss, iters,
+                     weights=None):
+    """Per-blend measurement records from a finished :meth:`fit`.
+
+    Returns a list of dicts with ``flux`` (K, C_total — the exact model
+    integral per channel, measure.flux semantics ref measure.py:24-37),
+    ``centroid`` (K, 2 intensity-weighted, in model-frame pixels, NaN
+    for inactive slots — ref measure.py:40-57), ``iterations``, and
+    ``logL`` (the Gaussian log-likelihood incl. normalization when
+    ``weights`` is given, else the negative loss).
+    """
+    seds = np.asarray(seds)
+    morphs = np.asarray(morphs)
+    origins = np.asarray(origins)
+    active = np.asarray(active)
+    loss = np.asarray(loss)
+    iters = np.asarray(iters)
+    B, K, S = morphs.shape[:3]
+    yy, xx = np.mgrid[0:S, 0:S].astype(float)
+    log_norm = (fitter.log_norm(weights) if weights is not None
+                else np.zeros(B))
+    records = []
+    for b in range(B):
+        flux = (seds[b] * morphs[b].sum((-2, -1))[:, None]) \
+            * active[b][:, None]
+        cen = np.full((K, 2), np.nan)
+        for k in range(K):
+            tot = morphs[b, k].sum()
+            if active[b, k] and tot > 0:
+                cen[k] = (
+                    (yy * morphs[b, k]).sum() / tot + origins[b, k, 0],
+                    (xx * morphs[b, k]).sum() / tot + origins[b, k, 1])
+        records.append({
+            "flux": flux,
+            "centroid": cen,
+            "iterations": int(iters[b]),
+            "logL": float(-loss[b] - log_norm[b]),
+        })
+    return records
 
 
 def multires_init(observations, datas, centers, *, box_size, n_slots,

@@ -80,6 +80,38 @@ class TestSyntheticAligned:
         ratios = flux / flux[0]
         np.testing.assert_allclose(ratios, scales / scales[0], rtol=0.05)
 
+    def test_records(self, fit):
+        """multires_records: fluxes match the model integrals, centroids
+        land on the true blob positions, logL includes the norm."""
+        from scarlet_tpu.parallel import multires_records
+
+        obs, fitter, datas, weights, init, out, scales = fit
+        seds, morphs, loss, iters, _ = out
+        recs = multires_records(fitter, seds, morphs, init[2], init[3],
+                                loss, iters, weights=weights)
+        assert len(recs) == len(scales)
+        frame = obs[0].model_frame
+        true_cen = _centers(frame, 1)[0]
+        for b, r in enumerate(recs):
+            np.testing.assert_allclose(
+                np.asarray(r["flux"]),
+                np.asarray(seds[b]) * np.asarray(morphs[b]).sum(
+                    (-2, -1))[:, None], rtol=1e-6)
+            err = np.linalg.norm(np.asarray(r["centroid"]) - true_cen,
+                                 axis=1)
+            # intensity-weighted centroids of overlapping monotonic
+            # profiles shift with the absorbed neighbor tails: tight on
+            # the bright blob, loose on the faint overlapped ones
+            assert err[0] < 1.5, err
+            assert np.all(err < 5.0), err
+            assert np.isfinite(r["logL"])
+            # logL = -loss - log_norm exactly (Gaussian normalization,
+            # ref observation.py:172-186; negative here since w=400>1)
+            ln = fitter.log_norm(weights)[b]
+            np.testing.assert_allclose(r["logL"],
+                                       -float(np.asarray(loss)[b]) - ln,
+                                       rtol=1e-6)
+
     def test_batch_equals_single(self, fit):
         """Row b of the batched fit == a B=1 fit of blend b (vmap
         consistency of the whole compiled program)."""
