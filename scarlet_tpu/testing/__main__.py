@@ -32,6 +32,10 @@ def main(argv=None):
                    help="also write each set's records as the committed "
                         "baseline (scarlet_tpu/testing/baselines/"
                         "set<id>.json)")
+    p.add_argument("--detection", action="store_true",
+                   help="also score the detection stage against each "
+                        "set's truth catalog (completeness / false rate "
+                        "/ match distance; api.detection_quality)")
     p.add_argument("--tpu", action="store_true",
                    help="run on the default accelerator backend; by "
                         "default the harness pins the CPU backend (the "
@@ -61,6 +65,20 @@ def main(argv=None):
             "median_iterations": int(sorted(iters)[len(iters) // 2])
             if iters else None,
         }))
+
+    if args.detection:
+        from .api import detection_quality
+
+        det = detection_quality(set_ids=args.sets)
+        for set_id, summary in det.items():
+            print(json.dumps({
+                "set": set_id,
+                "detection_completeness": round(summary["completeness"],
+                                                4),
+                "detection_false_rate": round(summary["false_rate"], 4),
+                "median_match_dist_px": round(
+                    summary["median_match_dist"], 3),
+            }))
 
     if args.baseline:
         import pathlib

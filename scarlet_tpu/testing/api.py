@@ -196,6 +196,83 @@ def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
     return records, flux, cents
 
 
+def detection_quality(set_ids=(4, 5, 6), root=None, paths=None,
+                      device=True, match_radius=3.0, scales=3):
+    """Score the detection stage against each set's truth catalogs.
+
+    Runs the starlet-footprint peak catalog recipe (device:
+    `parallel.detect_peaks_device` as one batched program per set; host:
+    `detect.get_peaks` per blend — bit-identical peak sets, tested) on
+    every blend and matches detections to the truth catalog within
+    ``match_radius`` px (:func:`measure.detection_metrics`).
+
+    The reference never scores its detection stage (detect_pybind11.cc
+    ships untested); completeness / false-positive rates are the
+    standard survey metrics for it.
+
+    Returns {set_id: {"blends": [per-blend metrics], "completeness",
+    "false_rate", "median_match_dist"}}.
+    """
+    import jax
+
+    from .measure import detection_metrics
+
+    results = {}
+    with jax.default_device(jax.devices("cpu")[0]):
+        for set_id in set_ids:
+            blend_paths = paths or bundled_blends(set_id)
+            datas = [np.load(p, allow_pickle=True) for p in blend_paths]
+            truths, ims, vars_ = [], [], []
+            for data in datas:
+                cat = data["catalog"]
+                truths.append(np.stack([np.asarray(cat["y"], float),
+                                        np.asarray(cat["x"], float)],
+                                       axis=1))
+                im = np.asarray(data["images"]).astype(np.float32)
+                if "variance" in data:
+                    var = np.asarray(data["variance"]).astype(np.float32)
+                else:
+                    sigma = np.array([
+                        1.4826 * np.median(np.abs(b - np.median(b)))
+                        for b in im])
+                    var = np.ones_like(im) * (sigma ** 2)[:, None, None]
+                ims.append(im)
+                vars_.append(var)
+
+            if device and len({im.shape for im in ims}) == 1:
+                from .. import parallel
+
+                max_peaks = max(32, max(len(t) for t in truths) + 8)
+                cen, act, _ = parallel.detect_peaks_device(
+                    np.stack(ims), np.stack(vars_), max_peaks=max_peaks,
+                    scales=scales)
+                cen, act = np.asarray(cen), np.asarray(act)
+                detected = [c[a] for c, a in zip(cen, act)]
+            else:
+                from ..detect import get_peaks
+
+                detected = [np.asarray(get_peaks(images=im, variance=var),
+                                       float).reshape(-1, 2)
+                            for im, var in zip(ims, vars_)]
+
+            blends = [detection_metrics(t, d, match_radius=match_radius)
+                      for t, d in zip(truths, detected)]
+            n_truth = sum(m["n_truth"] for m in blends)
+            n_det = sum(m["n_detected"] for m in blends)
+            n_match = sum(m["n_matched"] for m in blends)
+            dists = [m["match_dist"] for m in blends
+                     if np.isfinite(m["match_dist"])]
+            results[set_id] = {
+                "blends": blends,
+                "completeness": n_match / n_truth if n_truth else 1.0,
+                "false_rate": (n_det - n_match) / n_det if n_det else 0.0,
+                "median_match_dist": float(np.median(dists)) if dists
+                else float("nan"),
+                "path": "device" if device else "host",
+            }
+    return results
+
+
 def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
                         branch=None, root=None, paths=None, pipeline="main",
                         max_iter=None, e_rel=None):

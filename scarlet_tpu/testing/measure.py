@@ -6,7 +6,8 @@ import numpy as np
 
 from .. import measure as measure_mod
 
-__all__ = ["measurements", "mag_diff", "measure_lite_sources"]
+__all__ = ["measurements", "mag_diff", "measure_lite_sources",
+           "detection_metrics"]
 
 # metric registry (name -> description); ref: testing/measure.py:234-246
 measurements = {
@@ -24,6 +25,46 @@ measurements = {
     # beyond the reference's photometry-only set: astrometric recovery
     "pos diff": "centroid error vs truth position (px)",
 }
+
+
+def detection_metrics(truth_yx, detected_yx, match_radius=3.0):
+    """Detection quality vs a truth catalog: greedy nearest matching
+    within ``match_radius`` px.
+
+    Goes beyond the reference's photometry-only registry (the reference
+    never scores its detection stage; detect_pybind11.cc has no tests) —
+    completeness and false-positive rates are the standard survey
+    detection metrics.
+
+    Returns a dict with ``n_truth``, ``n_detected``, ``n_matched``,
+    ``completeness`` (matched/truth), ``false_rate``
+    (unmatched detections/detections), and ``match_dist`` (mean matched
+    distance, px; NaN when nothing matched).
+    """
+    truth = np.asarray(truth_yx, float).reshape(-1, 2)
+    det = np.asarray(detected_yx, float).reshape(-1, 2)
+    nt, nd = len(truth), len(det)
+    matched = 0
+    dists = []
+    if nt and nd:
+        d = np.hypot(truth[:, None, 0] - det[None, :, 0],
+                     truth[:, None, 1] - det[None, :, 1])
+        while True:
+            i, j = np.unravel_index(np.argmin(d), d.shape)
+            if d[i, j] > match_radius:   # matched pairs are set to inf
+                break
+            dists.append(float(d[i, j]))
+            matched += 1
+            d[i, :] = np.inf
+            d[:, j] = np.inf
+    return {
+        "n_truth": nt,
+        "n_detected": nd,
+        "n_matched": matched,
+        "completeness": matched / nt if nt else 1.0,
+        "false_rate": (nd - matched) / nd if nd else 0.0,
+        "match_dist": float(np.mean(dists)) if dists else float("nan"),
+    }
 
 
 def mag_diff(truth_flux, model_flux, zero_point=27.0):

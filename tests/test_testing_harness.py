@@ -126,3 +126,43 @@ class TestStreamPipeline:
             pos = [s["pos diff"] for s in rec["sources"] if "pos diff" in s]
             assert pos, "no astrometric errors measured"
             assert np.median(pos) < 2.0, pos
+
+
+class TestDetectionQuality:
+    def test_matching_logic(self):
+        """detection_metrics: greedy nearest matching, radius cut,
+        completeness/false-rate accounting."""
+        from scarlet_tpu.testing.measure import detection_metrics
+
+        truth = [(10, 10), (20, 20), (40, 40)]
+        det = [(10.5, 10.0), (21, 21), (5, 35), (30, 30)]
+        m = detection_metrics(truth, det, match_radius=3.0)
+        assert m["n_matched"] == 2                # (10,10) and (20,20)
+        assert m["completeness"] == pytest.approx(2 / 3)
+        assert m["false_rate"] == pytest.approx(2 / 4)
+        assert m["match_dist"] == pytest.approx(
+            (0.5 + np.sqrt(2)) / 2, rel=1e-6)
+
+    def test_matching_edges(self):
+        from scarlet_tpu.testing.measure import detection_metrics
+
+        empty = detection_metrics([], [], match_radius=3.0)
+        assert empty["completeness"] == 1.0 and empty["false_rate"] == 0.0
+        none_found = detection_metrics([(5, 5)], [], match_radius=3.0)
+        assert none_found["completeness"] == 0.0
+        # one detection cannot match two truths (greedy removes the pair)
+        m = detection_metrics([(5, 5), (6, 6)], [(5, 5)], match_radius=3.0)
+        assert m["n_matched"] == 1
+
+    def test_detection_quality_device_host_agree(self, small_set):
+        """The harness entry scores the same catalogs through the device
+        and host detection paths (bit-identical peak sets)."""
+        from scarlet_tpu.testing.api import detection_quality
+
+        root, paths = small_set
+        dev = detection_quality(set_ids=(4,), paths=paths, device=True)
+        host = detection_quality(set_ids=(4,), paths=paths, device=False)
+        for a, b in zip(dev[4]["blends"], host[4]["blends"]):
+            assert a == b
+        assert 0.0 <= dev[4]["completeness"] <= 1.0
+        assert dev[4]["n_truth"] if "n_truth" in dev[4] else True
