@@ -36,4 +36,5 @@ from .multires import (  # noqa: F401
     MultiResFitter,
     multires_init,
     multires_records,
+    deblend_multires,
 )

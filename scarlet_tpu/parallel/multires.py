@@ -46,7 +46,8 @@ from jax import lax
 from .. import optim
 from .stream import _centered_mono_table, _mono_project
 
-__all__ = ["MultiResFitter", "multires_init", "multires_records"]
+__all__ = ["MultiResFitter", "multires_init", "multires_records",
+           "deblend_multires"]
 
 
 def _assemble_scene(seds, morphs, origins, active, scene_shape):
@@ -390,3 +391,65 @@ def multires_init(observations, datas, centers, *, box_size, n_slots,
                 else:   # mixing matrix: adjoint scatter
                     seds[b, k] += np.asarray(cmap).T @ spec
     return seds, morphs, origins, active
+
+
+def deblend_multires(observations, datas, weights=None, centers=None, *,
+                     box_size, n_slots, detect_obs=0, max_peaks=None,
+                     detect_scales=3, n_iter=100, **fitter_kw):
+    """One-call batched multi-resolution pipeline: raw per-instrument
+    pixel stacks -> per-blend measurement records.
+
+    With ``centers=None`` the catalogs are detected ON DEVICE from
+    observation ``detect_obs``'s stack (:func:`detection.
+    detect_peaks_device` — pick the highest-resolution instrument) and
+    converted to model-frame coordinates through the shared WCS pair;
+    otherwise ``centers`` is (B, K, 2) model-frame positions (NaN rows =
+    inactive).  The multi-resolution analog of
+    ``deblend_device_stream`` (same contract: raw pixels in, records
+    out, one compiled fit program per batch).
+
+    ``weights`` defaults to all-ones per observation; detection derives
+    its variance plane as 1/weights (weight 0 -> masked).
+
+    Returns (records, seds, morphs, origins, active, losses).
+    """
+    observations = tuple(observations)
+    datas = tuple(np.asarray(d, np.float32) for d in datas)
+    if weights is None:
+        weights = tuple(np.ones_like(d) for d in datas)
+    else:
+        weights = tuple(np.asarray(w, np.float32) for w in weights)
+    frame = observations[0].model_frame
+
+    if centers is None:
+        from .detection import detect_peaks_device
+
+        obs_d = observations[detect_obs]
+        data_d = datas[detect_obs]
+        w_d = weights[detect_obs]
+        var = np.where(w_d > 0, 1.0 / np.maximum(w_d, 1e-20), 0.0)
+        if max_peaks is None:
+            max_peaks = int(n_slots)
+        det_c, det_a, _ = detect_peaks_device(
+            data_d, var, max_peaks=int(max_peaks),
+            scales=int(detect_scales))
+        det_c, det_a = np.asarray(det_c, float), np.asarray(det_a)
+        B, K = det_a.shape
+        centers = np.full((B, K, 2), np.nan)
+        for b in range(B):
+            if det_a[b].any():
+                # detected (y, x) are obs-grid pixels; map them into the
+                # model frame through the shared WCS pair
+                pix = obs_d.convert_pixel_to(frame, pixel=det_c[b,
+                                                              det_a[b]])
+                centers[b, :det_a[b].sum()] = np.atleast_2d(
+                    np.asarray(pix, float))
+
+    fitter = MultiResFitter(observations, box_size=box_size, **fitter_kw)
+    init = multires_init(observations, datas, centers, box_size=box_size,
+                         n_slots=n_slots)
+    seds, morphs, loss, iters, losses = fitter.fit(
+        datas, weights, *init, n_iter=int(n_iter))
+    records = multires_records(fitter, seds, morphs, init[2], init[3],
+                               loss, iters, weights=weights)
+    return records, seds, morphs, init[2], init[3], losses

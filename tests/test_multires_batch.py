@@ -130,6 +130,44 @@ class TestSyntheticAligned:
         assert int(single[3][0]) == int(out[3][b])
 
 
+class TestOneCall:
+    def test_deblend_multires_detects_and_fits(self):
+        """deblend_multires(centers=None): device detection on the HR
+        stack finds the true blobs; the one-call records match the
+        manual detect->init->fit->records pipeline."""
+        from scarlet_tpu.parallel import (MultiResFitter, deblend_multires,
+                                          multires_init, multires_records)
+
+        obs, frame, datas, weights, scales = _setup(0.0, [1.0, 0.7])
+        out = deblend_multires(obs, datas, weights, centers=None,
+                               box_size=31, n_slots=4, n_iter=60)
+        records, seds, morphs, origins, active, losses = out
+        active = np.asarray(active)
+        # the 3 blobs, detected per blend
+        assert np.all(active.sum(1) == 3)
+        true_cen = _centers(frame, 1)[0]
+        for b, r in enumerate(records):
+            cen = np.asarray(r["centroid"])[active[b]]
+            d = np.linalg.norm(cen[:, None] - true_cen[None], axis=-1)
+            assert np.all(d.min(1) < 5.0)
+            assert np.isfinite(r["logL"])
+
+        # manual pipeline with the same detected centers == one-call
+        centers = np.where(active[..., None],
+                           np.asarray(origins, float) + 31 // 2, np.nan)
+        fitter = MultiResFitter(obs, box_size=31)
+        init = multires_init(obs, datas, centers, box_size=31, n_slots=4)
+        s2, m2, loss2, it2, _ = fitter.fit(datas, weights, *init,
+                                           n_iter=60)
+        rec2 = multires_records(fitter, s2, m2, init[2], init[3], loss2,
+                                it2, weights=weights)
+        for a, b in zip(records, rec2):
+            np.testing.assert_allclose(a["logL"], b["logL"], rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(a["flux"]),
+                                       np.asarray(b["flux"]), rtol=1e-5,
+                                       atol=1e-6)
+
+
 class TestSyntheticRotated:
     def test_rotated_pair_fit(self):
         """The rotated ResolutionRenderer path (LR grid at 28 deg) under
