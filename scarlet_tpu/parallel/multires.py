@@ -30,8 +30,10 @@ cutout with only the 2 tutorial sources modeled, the object-tree fit
 reaches a ~3% better chi2 by growing its source boxes until the
 monotonic tails soak up unmodeled neighbors — match it by raising
 ``box_size``/``morph_step`` if that behavior is actually wanted; for
-production use, model every detected source instead
-(`parallel.detect_peaks_device` on the HR stack gives the catalog).
+production use, model every detected source instead:
+:func:`deblend_multires` with device detection on the HST stack models
+12 sources and reaches logL -728k vs the 2-source object-tree fit's
+-1,256k on the same cutout (40-iteration budget both).
 """
 from __future__ import annotations
 
