@@ -60,9 +60,11 @@ def _shift_fill(x, dy, dx, fill):
 
 
 def _label_pass(lab, pos, sent):
-    """One labeling sweep: 4-neighbor min + two pointer-jump hops."""
+    """One labeling sweep: 4-neighbor min + two pointer-jump hops.
+
+    ``sent`` is the background sentinel H*W (one past the last flat
+    pixel index)."""
     H, W = lab.shape
-    N = H * W
     m = lab
     for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
         m = jnp.minimum(m, _shift_fill(lab, dy, dx, sent))
@@ -72,7 +74,7 @@ def _label_pass(lab, pos, sent):
         # label values are flat pixel indices: gather the label of the
         # pixel each label points at (its current root candidate); root
         # labels only ever decrease, so min() is exact
-        hop = jnp.take(flat, jnp.minimum(flat, N - 1))
+        hop = jnp.take(flat, jnp.minimum(flat, sent - 1))
         flat = jnp.where(flat < sent, jnp.minimum(flat, hop), sent)
     return flat.reshape(H, W)
 

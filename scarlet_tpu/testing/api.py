@@ -51,6 +51,20 @@ def bundled_blends(set_id, root=None):
     ]
 
 
+def _load_image_variance(data):
+    """(images, variance) float32 from a blend npz; a missing variance
+    plane is estimated per band by MAD (the harness's noise proxy for
+    simulated sets)."""
+    im = np.asarray(data["images"]).astype(np.float32)
+    if "variance" in data:
+        var = np.asarray(data["variance"]).astype(np.float32)
+    else:
+        sigma = np.array([1.4826 * np.median(np.abs(b - np.median(b)))
+                          for b in im])
+        var = np.ones_like(im) * (sigma ** 2)[:, None, None]
+    return im, var
+
+
 def _channels(data):
     if "filters" not in data:
         return []
@@ -76,14 +90,7 @@ def deblend_lite_batch(datas, max_iter=None, e_rel=None):
     t0 = time.perf_counter()
     blends = []
     for data in datas:
-        images = np.asarray(data["images"]).astype(np.float32)
-        if "variance" in data:
-            variance = np.asarray(data["variance"]).astype(np.float32)
-        else:
-            sigma = np.array([
-                1.4826 * np.median(np.abs(im - np.median(im)))
-                for im in images])
-            variance = np.ones_like(images) * (sigma ** 2)[:, None, None]
+        images, variance = _load_image_variance(data)
         weights = (1.0 / np.maximum(variance, 1e-12)).astype(np.float32)
         psfs = np.asarray(data["psfs"]).astype(np.float32)
         model_psf = lite.integrated_circular_gaussian(sigma=0.8)[None].astype(
@@ -143,13 +150,7 @@ def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
     images, variances, centers_l = [], [], []
     psfs = []
     for data in datas:
-        im = np.asarray(data["images"]).astype(np.float32)
-        if "variance" in data:
-            var = np.asarray(data["variance"]).astype(np.float32)
-        else:
-            sigma = np.array([
-                1.4826 * np.median(np.abs(b - np.median(b))) for b in im])
-            var = np.ones_like(im) * (sigma ** 2)[:, None, None]
+        im, var = _load_image_variance(data)
         images.append(im)
         variances.append(var)
         psfs.append(np.asarray(data["psfs"]).astype(np.float32))
@@ -228,14 +229,7 @@ def detection_quality(set_ids=(4, 5, 6), root=None, paths=None,
                 truths.append(np.stack([np.asarray(cat["y"], float),
                                         np.asarray(cat["x"], float)],
                                        axis=1))
-                im = np.asarray(data["images"]).astype(np.float32)
-                if "variance" in data:
-                    var = np.asarray(data["variance"]).astype(np.float32)
-                else:
-                    sigma = np.array([
-                        1.4826 * np.median(np.abs(b - np.median(b)))
-                        for b in im])
-                    var = np.ones_like(im) * (sigma ** 2)[:, None, None]
+                im, var = _load_image_variance(data)
                 ims.append(im)
                 vars_.append(var)
 
@@ -251,7 +245,8 @@ def detection_quality(set_ids=(4, 5, 6), root=None, paths=None,
             else:
                 from ..detect import get_peaks
 
-                detected = [np.asarray(get_peaks(images=im, variance=var),
+                detected = [np.asarray(get_peaks(images=im, variance=var,
+                                                 scales=scales),
                                        float).reshape(-1, 2)
                             for im, var in zip(ims, vars_)]
 
