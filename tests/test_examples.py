@@ -13,7 +13,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
 REPO = str(EXAMPLES.parent)
 
 
-@pytest.mark.parametrize("script", ["quickstart.py", "batched_deblending.py", "starlet_source.py", "multiresolution.py", "stream_deblending.py", "point_source.py", "multiscale_deblending.py", "display_tutorial.py", "lsbg_wavelet_model.py"])
+@pytest.mark.parametrize("script", ["quickstart.py", "batched_deblending.py", "starlet_source.py", "multiresolution.py", "stream_deblending.py", "point_source.py", "multiscale_deblending.py", "display_tutorial.py", "lsbg_wavelet_model.py", "hsc_hst_multires.py"])
 def test_example_runs(script, tmp_path):
     env = dict(os.environ)
     env["SCARLET_TPU_FAST"] = "1"
