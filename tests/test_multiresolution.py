@@ -233,9 +233,11 @@ class TestLowResObservationReferenceData:
 @needs_ref_data
 class TestRealHSCHST:
     """Joint HSC+HST deblending on the reference's real cutouts
-    (the docs/tutorials/multiresolution.ipynb dataset): the HST grid is
-    rotated relative to HSC, exercising the rotated ResolutionRenderer on
-    real WCS headers read without astropy."""
+    (the docs/tutorials/multiresolution.ipynb dataset): the HSC grid is
+    3x coarser (aligned — the pair's rotation is ~1e-14, so this runs
+    the aligned ResolutionRenderer; the rotated path is covered by the
+    synthetic 28-deg pair above), with real WCS headers read without
+    astropy."""
 
     def _load(self):
         hsc, hdr_hsc, wcs_hsc = read_fits(os.path.join(REF_DATA,
