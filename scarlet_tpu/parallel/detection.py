@@ -116,13 +116,16 @@ def _masked_median_sigma(variance, validb):
     return 0.5 * (flat[(nv - 1) // 2] + flat[nv // 2])
 
 
-def peak_mask_from_plane(plane, validb=None, min_area=4):
+def peak_mask_from_plane(plane, validb=None, min_area=4,
+                         return_labels=False):
     """Boolean peak mask of one detection plane: 4-connected footprints
     above 0 with the reference's ``min_area`` cut, strict 8-neighbor
     component-masked local maxima (ref detect_pybind11.cc:104-195,
     241-280).  The segmentation stage of :func:`detect_peaks_device`,
     exposed for direct parity testing against ``detect.get_footprints``
-    on arbitrary planes."""
+    on arbitrary planes.  ``return_labels`` also returns the component
+    label image (for per-footprint post-processing like min-separation
+    culling)."""
     plane = jnp.asarray(plane)
     if validb is None:
         validb = jnp.ones(plane.shape, bool)
@@ -158,11 +161,32 @@ def peak_mask_from_plane(plane, validb=None, min_area=4):
             nl = _shift_fill(lab, dy, dx, jnp.int32(-1))
             nv = _shift_fill(plane, dy, dx, jnp.asarray(0, plane.dtype))
             blocked |= (nl == lab) & (nv >= plane)
-    return pos & ~blocked & jnp.take(keep, lab).reshape(H, W)
+    mask = pos & ~blocked & jnp.take(keep, lab).reshape(H, W)
+    return (mask, lab) if return_labels else mask
+
+
+def _cull_min_separation(ys, xs, labs, valid, min_separation):
+    """Brightness-greedy min-separation culling of candidate peaks
+    (already sorted brightest-first): a peak survives unless an
+    already-kept BRIGHTER peak of the SAME footprint lies within
+    ``min_separation`` (ref detect_pybind11.cc:104-195 — the reference
+    culls within each footprint's peak list, never across footprints).
+    """
+    M = ys.shape[0]
+    min_sep2 = float(min_separation) ** 2
+    idx = jnp.arange(M)
+
+    def body(k, kept):
+        d2 = ((ys - ys[k]) ** 2 + (xs - xs[k]) ** 2).astype(jnp.float32)
+        conflict = jnp.any(kept & (idx < k) & (labs == labs[k])
+                           & (d2 < min_sep2))
+        return kept.at[k].set(valid[k] & ~conflict)
+
+    return lax.fori_loop(0, M, body, jnp.zeros(M, bool))
 
 
 def _detect_peaks_one(images, variance, scene_valid, *, max_peaks,
-                      scales, min_area, peak_scale):
+                      scales, min_area, peak_scale, min_separation):
     validb = scene_valid > 0.5
     detect_sum = jnp.where(validb, jnp.sum(images, 0), 0.0)
     sigma = _masked_median_sigma(variance, validb)
@@ -171,20 +195,36 @@ def _detect_peaks_one(images, variance, scene_valid, *, max_peaks,
         coeffs, sigma, K=3, epsilon=1e-1, max_iter=20, valid=scene_valid)
     plane = M[peak_scale].astype(detect_sum.dtype) * coeffs[peak_scale]
     H, W = plane.shape
-    is_peak = peak_mask_from_plane(plane, validb, min_area=min_area)
-
+    is_peak, lab = peak_mask_from_plane(plane, validb, min_area=min_area,
+                                        return_labels=True)
     vals = jnp.where(is_peak, plane, -jnp.inf).ravel()
-    v, i = lax.top_k(vals, max_peaks)
-    active = v > 0
+
+    if min_separation > 0:
+        # cull over a candidate pool larger than the catalog so peaks
+        # promoted by upstream culls are not lost at the top_k boundary
+        pool = min(4 * max_peaks + 16, H * W)
+        v, i = lax.top_k(vals, pool)
+        kept = _cull_min_separation(i // W, i % W, jnp.take(lab.ravel(), i),
+                                    v > 0, min_separation)
+        # survivors first, brightness order preserved (stable sort)
+        order = jnp.argsort(~kept, stable=True)[:max_peaks]
+        active = jnp.take(kept, order)
+        i = jnp.take(i, order)
+        n_found = jnp.sum(kept).astype(jnp.int32)
+    else:
+        v, i = lax.top_k(vals, max_peaks)
+        active = v > 0
+        n_found = jnp.sum(is_peak).astype(jnp.int32)
     centers = jnp.stack([i // W, i % W], axis=-1).astype(jnp.int32)
-    n_found = jnp.sum(is_peak).astype(jnp.int32)
     return centers, active, n_found
 
 
 @partial(jax.jit,
-         static_argnames=("max_peaks", "scales", "min_area", "peak_scale"))
+         static_argnames=("max_peaks", "scales", "min_area", "peak_scale",
+                          "min_separation"))
 def detect_peaks_device(images, variance, scene_valid=None, *, max_peaks,
-                        scales=3, min_area=4, peak_scale=1):
+                        scales=3, min_area=4, peak_scale=1,
+                        min_separation=0):
     """Batched on-device peak catalogs from raw pixel stacks.
 
     The device analog of the host pipeline ``get_detect_wavelets`` ->
@@ -205,6 +245,10 @@ def detect_peaks_device(images, variance, scene_valid=None, *, max_peaks,
     scales : starlet scale count (host default 3).
     peak_scale : which masked wavelet plane is segmented (the host's
         "2nd scale", index 1).
+    min_separation : > 0 enables the reference's brightness-greedy
+        per-footprint peak culling (detect_pybind11.cc:104-195; the
+        host ``get_peaks`` flow uses 0).  ``n_found`` then counts
+        surviving peaks within the 4*max_peaks+16 candidate pool.
 
     Returns
     -------
@@ -222,5 +266,6 @@ def detect_peaks_device(images, variance, scene_valid=None, *, max_peaks,
         scene_valid = jnp.asarray(scene_valid).astype(images.dtype)
     one = partial(_detect_peaks_one, max_peaks=int(max_peaks),
                   scales=int(scales), min_area=int(min_area),
-                  peak_scale=int(peak_scale))
+                  peak_scale=int(peak_scale),
+                  min_separation=float(min_separation))
     return jax.vmap(one)(images, variance, scene_valid)

@@ -153,6 +153,30 @@ class TestPeakParity:
             dev = set(zip(*map(list, np.nonzero(mask))))
             assert dev == host
 
+    def test_min_separation_culling_parity(self):
+        """min_separation > 0: the device's brightness-greedy
+        per-footprint culling must match the host footprints'
+        (_find_peaks culling, ref detect_pybind11.cc:104-195)."""
+        from scarlet_tpu.detect import get_detect_wavelets, get_footprints
+
+        rng = np.random.default_rng(19)
+        for trial in range(3):
+            b = generate_blend(rng)
+            images = b["images"]
+            variance = np.ascontiguousarray(b["variance"])
+            plane = get_detect_wavelets(images, variance, scales=3)[1]
+            for sep in (2.0, 5.0):
+                host = set()
+                for fp in get_footprints(plane, min_separation=sep,
+                                         min_area=4, thresh=0):
+                    host.update((p.y, p.x) for p in fp.peaks)
+                centers, active, n_found = parallel.detect_peaks_device(
+                    images[None], variance[None], max_peaks=48,
+                    min_separation=sep)
+                dev = _active_set(centers[0], active[0])
+                assert dev == host, (trial, sep)
+                assert int(n_found[0]) == len(host)
+
     def test_scene_valid_padding_is_silent(self):
         """Zero-padded heterogeneous crops: padding must produce no
         peaks, and the valid-region catalog must match the natural
