@@ -229,6 +229,51 @@ class TestStreamIntegration:
             == host
         assert int(aux["detected_peaks"][0]) == len(host)
 
+    @pytest.mark.slow
+    def test_centers_none_wavelet_recipe(self, hsc):
+        """Device detection composes with the wavelet init recipe: the
+        catalog feeds recipe='wavelets' unchanged."""
+        images = hsc["images"][None]
+        variance = hsc["variance"][None]
+        psfs = hsc["psfs"][None]
+        rec, _, _, aux = parallel.deblend_device_stream(
+            images, variance, psfs, None, hsc["model_psf"],
+            box_size=31, n_slots=10, max_iter=20, check_every=10,
+            recipe="wavelets")
+        host = set(map(tuple, get_peaks(images=hsc["images"],
+                                        variance=hsc["variance"])))
+        assert _active_set(aux["centers"][0], aux["center_active"][0]) \
+            == host
+        assert np.isfinite(rec[0]["logL"])
+        assert rec[0]["logL"] > rec[0]["init logL"]
+
+    def test_centers_none_sanitizes_before_detecting(self, hsc):
+        """NaN/inf pixels must be sanitized BEFORE device detection in
+        stream_setup: corrupt input == pre-sanitized input, bitwise."""
+        images = hsc["images"].copy()
+        variance = hsc["variance"].copy()
+        images[:, :3, :4] = np.nan
+        variance[1, 10:12, 10:12] = -1.0
+        # pre-sanitize with the stream's rules
+        bad = (~(np.isfinite(images) & np.isfinite(variance))
+               | (variance < 0))
+        im_c = np.where(bad, np.float32(0), images)
+        vcnt = np.maximum((~bad).sum(axis=(-2, -1)), 1)
+        vfill = (np.where(bad, 0, variance).sum(axis=(-2, -1))
+                 / vcnt)[:, None, None]
+        var_c = np.where(bad, vfill, variance).astype(np.float32)
+
+        _, _, _, aux_raw = parallel.stream_setup(
+            images[None], variance[None], hsc["psfs"][None], None,
+            hsc["model_psf"], box_size=31, n_slots=8)
+        _, _, _, aux_cln = parallel.stream_setup(
+            im_c[None], var_c[None], hsc["psfs"][None], None,
+            hsc["model_psf"], box_size=31, n_slots=8)
+        assert np.array_equal(np.asarray(aux_raw["centers"]),
+                              np.asarray(aux_cln["centers"]))
+        assert np.array_equal(np.asarray(aux_raw["center_active"]),
+                              np.asarray(aux_cln["center_active"]))
+
     def test_centers_none_rejects_center_active(self, hsc):
         with pytest.raises(ValueError):
             parallel.stream_setup(
