@@ -259,6 +259,9 @@ def detection_quality(set_ids=(4, 5, 6), root=None, paths=None,
                      if np.isfinite(m["match_dist"])]
             results[set_id] = {
                 "blends": blends,
+                "n_truth": n_truth,
+                "n_detected": n_det,
+                "n_matched": n_match,
                 "completeness": n_match / n_truth if n_truth else 1.0,
                 "false_rate": (n_det - n_match) / n_det if n_det else 0.0,
                 "median_match_dist": float(np.median(dists)) if dists

@@ -165,4 +165,6 @@ class TestDetectionQuality:
         for a, b in zip(dev[4]["blends"], host[4]["blends"]):
             assert a == b
         assert 0.0 <= dev[4]["completeness"] <= 1.0
-        assert dev[4]["n_truth"] if "n_truth" in dev[4] else True
+        assert dev[4]["n_truth"] > 0
+        assert dev[4]["n_matched"] <= min(dev[4]["n_truth"],
+                                          dev[4]["n_detected"])
