@@ -66,6 +66,7 @@ def main(argv=None):
             if iters else None,
         }))
 
+    det = None
     if args.detection:
         from .api import detection_quality
 
@@ -96,7 +97,8 @@ def main(argv=None):
     if args.plots:
         from .plots import render_dashboard
 
-        written = render_dashboard(set_ids=args.sets, root=args.root)
+        written = render_dashboard(set_ids=args.sets, root=args.root,
+                                   detection=det)
         for path in written:
             print(path)
 
