@@ -15,7 +15,8 @@ import json
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sets", type=int, nargs="+", default=[1, 2, 3, 4],
-                   help="blend set ids (1-3 bundled, 4/5 generated)")
+                   help="blend set ids (1-3 bundled; 4/5/6 generated at "
+                        "the reference's curated scale; 7 very crowded)")
     p.add_argument("--pipeline", choices=["main", "lite", "stream"],
                    default="lite",
                    help="per-blend reference-parity pipeline (main), the "

@@ -139,6 +139,10 @@ _SET_PARAMS = {
     4: {},
     5: {"min_sep": 4.0, "noise_sigma": 0.12},
     6: {"n_range": (2, 7), "min_sep": 8.0, "noise_sigma": 0.08},
+    # set 7 goes beyond the reference's tiers: very crowded scenes
+    # (8-16 sources at 3 px separation) stressing detection completeness
+    # and slot-packed deblending
+    7: {"n_range": (8, 17), "min_sep": 3.0, "noise_sigma": 0.12},
 }
 
 

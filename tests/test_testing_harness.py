@@ -49,9 +49,23 @@ class TestBlendSets:
         assert total_truth > 0
 
     def test_full_set_sizes(self):
-        """Sets 4/5 regenerate at reference-scale sizes (50/14 blends)."""
+        """Sets 4/5 regenerate at reference-scale sizes (50/14 blends);
+        set 7 is the beyond-reference crowded tier."""
         assert testing.api._GENERATED[4] == 50
         assert testing.api._GENERATED[5] == 14
+        assert testing.api._GENERATED[7] == 25
+
+    def test_crowded_set_is_crowded(self, tmp_path):
+        """Set 7 blends carry 8-16 sources at >= 3 px separation."""
+        paths = testing.generate_blend_set(set_id=7, n=3, seed=1007,
+                                           root=tmp_path)
+        for p in paths:
+            cat = np.load(p, allow_pickle=True)["catalog"]
+            assert 8 <= len(cat) <= 16
+            pos = np.stack([cat["y"], cat["x"]], 1)
+            d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+            d[np.diag_indices(len(cat))] = np.inf
+            assert d.min() >= 3.0
 
 
 class TestBatchedPipeline:
@@ -91,7 +105,7 @@ class TestBatchedPipeline:
         analog = sets 6/4/5 totaling 164 blends)."""
         import pathlib
 
-        sizes = {4: 50, 5: 14, 6: 100}
+        sizes = {4: 50, 5: 14, 6: 100, 7: 25}
         for set_id, n in sizes.items():
             path = (pathlib.Path(testing.__file__).parent
                     / f"baselines/set{set_id}.json")
