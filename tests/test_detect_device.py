@@ -177,6 +177,16 @@ class TestPeakParity:
                 assert dev == host, (trial, sep)
                 assert int(n_found[0]) == len(host)
 
+    def test_blank_scene_finds_nothing(self):
+        """Pure noise-free zero images: no footprints, no peaks, all
+        catalog rows inactive (the stream then fits an empty model)."""
+        images = np.zeros((1, 3, 40, 36), np.float32)
+        variance = np.full_like(images, 1e-4)
+        centers, active, n_found = parallel.detect_peaks_device(
+            images, variance, max_peaks=8)
+        assert int(n_found[0]) == 0
+        assert not np.asarray(active).any()
+
     def test_scene_valid_padding_is_silent(self):
         """Zero-padded heterogeneous crops: padding must produce no
         peaks, and the valid-region catalog must match the natural
