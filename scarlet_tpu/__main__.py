@@ -193,6 +193,10 @@ def deblend_main(argv=None):
                 "centroid": [
                     [None if not np.isfinite(v) else float(v) for v in c]
                     for c in np.asarray(r["centroid"])[:k]],
+                # central 2nd moments (s_yy, s_xx, s_xy) of each source
+                "moments": [
+                    [None if not np.isfinite(v) else float(v) for v in m]
+                    for m in np.asarray(r["moments"])[:k]],
                 "snr": np.asarray(r["snr"])[:k].tolist(),
             }
     dt = time.perf_counter() - t0

@@ -732,7 +732,36 @@ def _stream_records_device(state, aux):
     # centroid — NaN, not (0, 0), so consumers (pos-diff metric, CLI)
     # can tell "unmeasured" from "at the origin"
     centroid = jnp.where(wsum[..., None] != 0, centroid, jnp.nan)
-    return per_source, centroid
+
+    # per-source flux-normalized CENTRAL second moments of the
+    # channel-summed model (sigma_yy, sigma_xx, sigma_xy) — same closed
+    # form as the centroid: per-slot raw global moments, segment-summed,
+    # centralized about the source centroid.  These are the physically
+    # conventional moments (the reference's measure.moments mirrors a
+    # grid_x/grid_y axis mix-up from np.indices — ref measure.py:135-141
+    # — which this deliberately does not reproduce; shape measures here
+    # feed ellipticities, not a parity surface).
+    sedsum = jnp.where(msum != 0, wslot / jnp.where(msum != 0, msum, 1.0),
+                       0.0)                  # (B, n_slots) channel-sum sed
+    oy = origins[..., 0].astype(morphs.dtype)
+    ox = origins[..., 1].astype(morphs.dtype)
+    m1y = jnp.einsum("bkyx,y->bk", morphs, iy)
+    m1x = jnp.einsum("bkyx,x->bk", morphs, ix)
+    m2y = jnp.einsum("bkyx,y->bk", morphs, iy * iy)
+    m2x = jnp.einsum("bkyx,x->bk", morphs, ix * ix)
+    mxy = jnp.einsum("bkyx,y,x->bk", morphs, iy, ix)
+    gy2 = m2y + 2 * oy * m1y + oy * oy * msum     # sum morph * y_glob^2
+    gx2 = m2x + 2 * ox * m1x + ox * ox * msum
+    gxy = mxy + oy * m1x + ox * m1y + oy * ox * msum
+    r2y = vseg((sedsum * gy2)[..., None], src)[..., 0]
+    r2x = vseg((sedsum * gx2)[..., None], src)[..., 0]
+    rxy = vseg((sedsum * gxy)[..., None], src)[..., 0]
+    myy = r2y / wsafe - cen_y ** 2
+    mxx = r2x / wsafe - cen_x ** 2
+    mxy_c = rxy / wsafe - cen_y * cen_x
+    moments2 = jnp.stack([myy, mxx, mxy_c], axis=-1)      # (B, K, 3)
+    moments2 = jnp.where(wsum[..., None] != 0, moments2, jnp.nan)
+    return per_source, centroid, moments2
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -776,8 +805,9 @@ def stream_records(state, losses, aux, data=None, config=None,
     With ``reweight=True`` (requires ``data`` and ``config``), per-source
     fluxes use the observed-flux redistribution of
     ``lite.measure.weight_sources`` instead of raw model sums."""
-    per_source, centroids = _stream_records_device(state, aux)
+    per_source, centroids, moments2 = _stream_records_device(state, aux)
     centroids = np.asarray(centroids)
+    moments2 = np.asarray(moments2)
     if reweight:
         if data is None or config is None:
             raise ValueError("reweight=True needs data and config")
@@ -801,6 +831,10 @@ def stream_records(state, losses, aux, data=None, config=None,
             "n_components": int(n_act[b]),
             "flux": per_source[b],
             "centroid": centroids[b],
+            # flux-normalized central 2nd moments (sigma_yy, sigma_xx,
+            # sigma_xy) of the channel-summed model — sizes and
+            # ellipticities (e1 = (sxx-syy)/(sxx+syy), e2 = 2 sxy/tr)
+            "moments": moments2[b],
             # PSF-weighted detection SNR per source from the device init
             # (ref scarlet/lite/measure.py calculate_snr) — the quantity
             # the init's bulge/disk split gates on

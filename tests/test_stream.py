@@ -150,6 +150,46 @@ class TestStreamInit:
             np.testing.assert_allclose(recs[0]["centroid"][s], cen,
                                        rtol=1e-5, atol=1e-4)
 
+    def test_record_moments_match_explicit_oracle(self, stream_setup_out):
+        """Device central second moments == explicit numpy sums over the
+        assembled channel-summed per-source model."""
+        scfg, sdata, sstate, aux = stream_setup_out
+        out, losses = parallel.fit_batch_device_converged(
+            sstate, sdata, scfg, 10, check_every=10)
+        recs = stream.stream_records(out, losses, aux)
+        assert recs[0]["moments"].shape == (7, 3)
+        seds = np.asarray(out.seds[0][0])
+        morphs = np.asarray(out.morphs[0][0])
+        origins = np.asarray(out.origins[0][0])
+        on = np.asarray(out.comp_active[0][0])
+        slot_src = np.asarray(aux["slot_source"][0])
+        S = morphs.shape[-1]
+        H, W = scfg.scene_shape[-2:]
+        for s in range(7):
+            img = np.zeros((H + 2 * S, W + 2 * S))
+            for k in range(len(slot_src)):
+                if not on[k] or slot_src[k] != s:
+                    continue
+                oy, ox = origins[k] + S
+                img[oy:oy + S, ox:ox + S] += seds[k].sum() * morphs[k]
+            tot = img.sum()
+            if tot == 0:
+                assert not np.any(np.isfinite(recs[0]["moments"][s]))
+                continue
+            yy, xx = np.mgrid[: img.shape[0], : img.shape[1]].astype(float)
+            cy = (yy * img).sum() / tot
+            cx = (xx * img).sum() / tot
+            oracle = np.array([
+                ((yy - cy) ** 2 * img).sum() / tot,
+                ((xx - cx) ** 2 * img).sum() / tot,
+                ((yy - cy) * (xx - cx) * img).sum() / tot,
+            ])
+            # f32 centralization roundoff: raw global moments are
+            # O(coord^2 * flux) ~ 1e3-1e4 while the central result is
+            # O(10), so ~1e-3 absolute wobble is the f32 floor
+            np.testing.assert_allclose(recs[0]["moments"][s], oracle,
+                                       rtol=2e-3, atol=2e-3)
+
     def test_weighted_flux_matches_host(self, hsc, host_setup,
                                         stream_setup_out):
         """Device flux reweighting == lite.measure.weight_sources."""
