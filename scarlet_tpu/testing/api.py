@@ -136,8 +136,9 @@ def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
 
     All blends in the set must share one (C, H, W) (the generated sets
     do); heterogeneous source counts pad through ``center_active``.
-    Returns (records, flux, centroids) with flux[i] the (K_i, C)
-    per-source fluxes and centroids[i] the (K_i, 2) scene positions.
+    Returns (records, flux, centroids, moments) with flux[i] the
+    (K_i, C) per-source fluxes, centroids[i] the (K_i, 2) scene
+    positions, and moments[i] the (K_i, 3) central 2nd moments.
     """
     from . import settings
     from .. import lite, parallel
@@ -179,7 +180,7 @@ def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
         max_iter=max_iter, e_rel=e_rel, min_snr=min_snr, reweight=reweight)
     total = time.perf_counter() - t0
 
-    records, flux, cents = [], [], []
+    records, flux, cents, moms = [], [], [], []
     for b, raw in enumerate(records_raw):
         k = len(centers_l[b])
         records.append({
@@ -194,7 +195,8 @@ def deblend_stream_batch(datas, max_iter=None, e_rel=None, min_snr=30,
         })
         flux.append(np.asarray(raw["flux"])[:k])
         cents.append(np.asarray(raw["centroid"])[:k])
-    return records, flux, cents
+        moms.append(np.asarray(raw["moments"])[:k])
+    return records, flux, cents, moms
 
 
 def detection_quality(set_ids=(4, 5, 6), root=None, paths=None,
@@ -292,13 +294,15 @@ def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
             datas = [np.load(p, allow_pickle=True) for p in blend_paths]
 
             if pipeline == "stream":
-                records, fluxes, cents = deblend_stream_batch(
+                records, fluxes, cents, moms = deblend_stream_batch(
                     datas, max_iter=max_iter, e_rel=e_rel)
-                for rec, data, path, fl, ce in zip(records, datas,
-                                                   blend_paths, fluxes,
-                                                   cents):
+                for rec, data, path, fl, ce, mo in zip(records, datas,
+                                                       blend_paths,
+                                                       fluxes, cents,
+                                                       moms):
                     rec["sources"] = measure_flux_records(
-                        fl, data["catalog"], _channels(data), centroids=ce)
+                        fl, data["catalog"], _channels(data),
+                        centroids=ce, moments=mo)
                     rec["blend"] = pathlib.Path(path).name
             elif pipeline == "lite":
                 blends, records = deblend_lite_batch(datas, max_iter=max_iter,

@@ -24,6 +24,11 @@ measurements = {
     "y diff": "magnitude error (y)",
     # beyond the reference's photometry-only set: astrometric recovery
     "pos diff": "centroid error vs truth position (px)",
+    # shape recovery (model vs truth central 2nd moments, compared in
+    # model-PSF-convolved space)
+    "e1 diff": "ellipticity e1 error vs truth",
+    "e2 diff": "ellipticity e2 error vs truth",
+    "size diff": "relative rms-size error vs truth",
 }
 
 
@@ -102,6 +107,59 @@ def _truth_pos(rec, row, cen_yx):
                                      cen_yx[1] - float(row["x"])))
 
 
+def _central_moments(img):
+    """(cy, cx, myy, mxx, mxy) flux-normalized central moments of a 2D
+    image; None for an empty image."""
+    img = np.asarray(img, np.float64)
+    tot = img.sum()
+    if tot <= 0:
+        return None
+    yy, xx = np.indices(img.shape, dtype=np.float64)
+    cy = (yy * img).sum() / tot
+    cx = (xx * img).sum() / tot
+    return (cy, cx,
+            (((yy - cy) ** 2) * img).sum() / tot,
+            (((xx - cx) ** 2) * img).sum() / tot,
+            ((yy - cy) * (xx - cx) * img).sum() / tot)
+
+
+def _ellipticity(myy, mxx, mxy):
+    tr = myy + mxx
+    if tr <= 0:
+        return None
+    return (mxx - myy) / tr, 2.0 * mxy / tr, np.sqrt(tr)
+
+
+def _truth_shape(rec, row, channels, moments, psf_var):
+    """Shape-recovery metrics: model vs truth central 2nd moments of the
+    channel-summed source, compared in model-PSF-convolved space (the
+    truth intensity images are unconvolved, so the model PSF's variance
+    is added to the truth's diagonal moments).
+
+    ``moments`` is the model's (myy, mxx, mxy); ``psf_var`` the model
+    PSF variance in px^2 (sigma^2).
+    """
+    if moments is None or row is None:
+        return
+    moments = np.asarray(moments, float)
+    if not np.all(np.isfinite(moments)):
+        return
+    names = [f"intensity_{c}" for c in channels]
+    if not all(n in (row.dtype.names or ()) for n in names):
+        return
+    truth_img = np.sum([row[n] for n in names], axis=0)
+    t = _central_moments(truth_img)
+    if t is None:
+        return
+    e_t = _ellipticity(t[2] + psf_var, t[3] + psf_var, t[4])
+    e_m = _ellipticity(*moments)
+    if e_t is None or e_m is None:
+        return
+    rec["e1 diff"] = float(e_m[0] - e_t[0])
+    rec["e2 diff"] = float(e_m[1] - e_t[1])
+    rec["size diff"] = float((e_m[2] - e_t[2]) / e_t[2])
+
+
 def _model_centroid(src):
     """(y, x) scene centroid of a source's model, or None for an empty
     model (measure.centroid divides by the total).  Assembles the model
@@ -113,10 +171,17 @@ def _model_centroid(src):
     return cen + np.asarray(src.bbox.origin)[-2:]
 
 
-def measure_lite_sources(sources, catalog, channels):
+def _source_model_moments(src):
+    """(myy, mxx, mxy) of a source's channel-summed model, or None."""
+    img = np.asarray(src.get_model()).sum(axis=0)
+    m = _central_moments(img)
+    return None if m is None else m[2:]
+
+
+def measure_lite_sources(sources, catalog, channels, psf_var=0.64):
     """Per-source flux (redistributed ``weight_sources`` flux when present,
-    model flux otherwise), centroid, and per-band magnitude / position
-    error vs catalog truth."""
+    model flux otherwise), centroid, and per-band magnitude / position /
+    shape error vs catalog truth."""
     records = []
     for src, row in zip(sources, catalog):
         if getattr(src, "flux", None) is not None:
@@ -126,36 +191,45 @@ def measure_lite_sources(sources, catalog, channels):
         rec = {"flux": flux.tolist()}
         _truth_diff(rec, row, channels, flux)
         _truth_pos(rec, row, _model_centroid(src))
+        _truth_shape(rec, row, channels, _source_model_moments(src),
+                     psf_var)
         records.append(rec)
     return records
 
 
-def measure_flux_records(fluxes, catalog, channels, centroids=None):
+def measure_flux_records(fluxes, catalog, channels, centroids=None,
+                         moments=None, psf_var=0.64):
     """Per-source flux + per-band magnitude error from raw (K, C) flux
     arrays (the device stream path's measurement output); with
     ``centroids`` (K, 2 per blend, scene coords) also the position
-    error."""
+    error, and with ``moments`` (K, 3 central 2nd moments) the shape
+    errors."""
     records = []
     if centroids is None:
         centroids = [None] * len(catalog)
-    for flux, row, cen in zip(fluxes, catalog, centroids):
+    if moments is None:
+        moments = [None] * len(catalog)
+    for flux, row, cen, mom in zip(fluxes, catalog, centroids, moments):
         flux = np.asarray(flux)
         rec = {"flux": flux.tolist()}
         _truth_diff(rec, row, channels, flux)
         _truth_pos(rec, row, cen)
+        _truth_shape(rec, row, channels, mom, psf_var)
         records.append(rec)
     return records
 
 
-def measure_sources(sources, catalog, channels):
-    """Per-source flux, centroid, and per-band magnitude / position error
-    vs catalog truth (when the catalog carries intensity_<band> truth
-    images)."""
+def measure_sources(sources, catalog, channels, psf_var=0.64):
+    """Per-source flux, centroid, and per-band magnitude / position /
+    shape error vs catalog truth (when the catalog carries
+    intensity_<band> truth images)."""
     records = []
     for src, row in zip(sources, catalog):
         flux = np.asarray(measure_mod.flux(src))
         rec = {"flux": flux.tolist()}
         _truth_diff(rec, row, channels, flux)
         _truth_pos(rec, row, _model_centroid(src))
+        _truth_shape(rec, row, channels, _source_model_moments(src),
+                     psf_var)
         records.append(rec)
     return records

@@ -182,3 +182,41 @@ class TestDetectionQuality:
         assert dev[4]["n_truth"] > 0
         assert dev[4]["n_matched"] <= min(dev[4]["n_truth"],
                                           dev[4]["n_detected"])
+
+
+class TestShapeMetrics:
+    def test_isolated_galaxy_shape_recovery(self, tmp_path):
+        """e1/e2/size errors vs truth moments on an isolated extended
+        galaxy (seed chosen to generate one): the stream fit recovers
+        the shape to the monotonic-model's accuracy."""
+        from scarlet_tpu.testing.api import deblend_and_measure
+        from scarlet_tpu.testing.blendsets import generate_blend
+
+        rng = np.random.default_rng(6)      # one galaxy, radius 2.3
+        b = generate_blend(rng, n_sources=1)
+        assert not b["catalog"][0]["is_star"]
+        p = tmp_path / "blend_000.npz"
+        np.savez_compressed(p, **b)
+        res = deblend_and_measure(set_ids=(99,), paths=[p], save=False,
+                                  pipeline="stream", max_iter=100)
+        src = res[99][0]["sources"][0]
+        for key in ("e1 diff", "e2 diff", "size diff"):
+            assert key in src, key
+        assert abs(src["e1 diff"]) < 0.2
+        assert abs(src["e2 diff"]) < 0.2
+        assert abs(src["size diff"]) < 0.15
+
+    def test_shape_metrics_in_lite_pipeline(self, small_set):
+        """The lite (host-model) pipeline also reports the shape
+        metrics, from the assembled source models."""
+        from scarlet_tpu.testing.api import deblend_and_measure
+
+        root, paths = small_set
+        res = deblend_and_measure(set_ids=(90,), paths=paths[:2],
+                                  save=False, pipeline="lite",
+                                  max_iter=20)
+        srcs = [s for r in res[90] for s in r["sources"]]
+        assert any("e1 diff" in s for s in srcs)
+        for s in srcs:
+            if "size diff" in s:
+                assert np.isfinite(s["size diff"])
