@@ -849,6 +849,7 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
                           n_slots, max_iter=100, check_every=25,
                           min_snr=50, e_rel=1e-4, reweight=False,
                           chunk=None, compact=None, upload_dtype=None,
+                          redetect=0, redetect_radius=3.0,
                           **kw):
     """One-call production path: device init + device fit + records.
 
@@ -896,11 +897,36 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     running.  Worthwhile when most blends converge early (e.g. the
     generated regression sets: median 28 its).
 
+    ``redetect=N`` runs N extra detect-on-residuals passes (the
+    production form of the quickstart's manual residual-peak source
+    addition): after each fit, the batched model renders subtract from
+    the data, `detect_peaks_device` runs on the residual stack, peaks
+    farther than ``redetect_radius`` px from the current catalog join
+    it (truncated to ``max_peaks``), and the stream re-initializes and
+    refits (cold, full budget) with the grown catalog.  Measured on the
+    very crowded generated set: one pass lifts detection completeness
+    65.8% -> 71.2% (false rate 0.5% -> 2.8%) for ~2x fit cost, with
+    per-blend logL improving at a sufficient iteration budget.  Keep
+    ``redetect_radius`` >= ~the PSF width: 2 px admits near-duplicate
+    peaks that split real sources and regress the fit (measured; 3 px
+    keeps the full completeness gain without it).  Works with an
+    explicit catalog or ``centers=None``.
+
     Returns (records, state, losses, aux); with ``chunk`` set (and no
     ``compact``), state/losses/aux are per-chunk lists; with ``compact``
     they are merged across chunks."""
     from .batch import (fit_batch_device_dispatch,
                         fit_batch_device_collect)
+
+    if redetect:
+        return _deblend_redetect(
+            images, variance, psfs, centers, model_psf, weights,
+            center_active, scene_valid, box_size=box_size,
+            n_slots=n_slots, max_iter=max_iter, check_every=check_every,
+            min_snr=min_snr, e_rel=e_rel, reweight=reweight, chunk=chunk,
+            compact=compact, upload_dtype=upload_dtype,
+            redetect=int(redetect), redetect_radius=float(redetect_radius),
+            **kw)
 
     qdtype = None if upload_dtype is None else jnp.dtype(upload_dtype)
 
@@ -970,6 +996,115 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     if len(spans) == 1:
         return records, outs[0], losses_l[0], auxs[0]
     return records, outs, losses_l, auxs
+
+
+def _union_catalogs(centers, active, det_c, det_a, radius, cap):
+    """Per-blend union of an existing catalog with new detections:
+    existing active rows keep their order, new peaks (already
+    brightest-first) join if farther than ``radius`` from every kept
+    row, truncated to ``cap`` rows."""
+    centers = np.asarray(centers)
+    active = np.asarray(active)
+    det_c = np.asarray(det_c)
+    det_a = np.asarray(det_a)
+    B = centers.shape[0]
+    merged = []
+    for b in range(B):
+        rows = [tuple(map(int, c)) for c in centers[b][active[b]]]
+        for p in det_c[b][det_a[b]]:
+            p = tuple(map(int, p))
+            if len(rows) >= cap:
+                break
+            if all((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                   > radius ** 2 for q in rows):
+                rows.append(p)
+        merged.append(rows)
+    K = max(1, max(len(r) for r in merged))
+    out_c = np.zeros((B, K, 2), np.int32)
+    out_a = np.zeros((B, K), bool)
+    for b, rows in enumerate(merged):
+        if rows:
+            out_c[b, :len(rows)] = rows
+            out_a[b, :len(rows)] = True
+    return out_c, out_a
+
+
+def _deblend_redetect(images, variance, psfs, centers, model_psf,
+                      weights, center_active, scene_valid, *, box_size,
+                      n_slots, max_iter, check_every, min_snr, e_rel,
+                      reweight, chunk, compact, upload_dtype, redetect,
+                      redetect_radius, **kw):
+    """detect -> fit -> detect-on-residuals -> refit orchestration for
+    ``deblend_device_stream(redetect=N)``."""
+    from .detection import detect_peaks_device
+    from .batch import _data_in_axes
+
+    # sanitize once at this level so the residual subtraction stays
+    # finite (stream_setup re-sanitizes idempotently inside each pass)
+    images = jnp.asarray(images)
+    variance = jnp.asarray(variance)
+    bad = (~(jnp.isfinite(images) & jnp.isfinite(variance))
+           | (variance < 0))
+    images = jnp.where(bad, 0.0, images)
+    vcnt = jnp.maximum(jnp.sum(~bad, axis=(-2, -1)), 1)
+    vfill = (jnp.sum(jnp.where(bad, 0.0, variance), axis=(-2, -1))
+             / vcnt)[..., None, None]
+    variance = jnp.where(bad, vfill, variance)
+
+    cap = int(kw.get("max_peaks") or n_slots)
+    scales = int(kw.get("detect_scales", 3))
+    cur_c, cur_a = centers, center_active
+    for pass_i in range(redetect + 1):
+        out = deblend_device_stream(
+            images, variance, psfs, cur_c, model_psf, weights=weights,
+            center_active=cur_a, scene_valid=scene_valid,
+            box_size=box_size, n_slots=n_slots, max_iter=max_iter,
+            check_every=check_every, min_snr=min_snr, e_rel=e_rel,
+            reweight=reweight, chunk=chunk, compact=compact,
+            upload_dtype=upload_dtype, **kw)
+        if pass_i == redetect:
+            if cur_c is None:
+                return out
+            # surface the final (grown) catalog like the detection path
+            records, state, losses, aux = out
+            cur_c = np.asarray(cur_c)
+            if cur_a is None:
+                cur_a = np.ones(cur_c.shape[:2], bool)
+            cur_a = np.asarray(cur_a)
+            if isinstance(aux, list):
+                o, new_aux = 0, []
+                for a in aux:
+                    n = np.asarray(a["n_active"]).shape[0]
+                    new_aux.append(dict(a, centers=cur_c[o:o + n],
+                                        center_active=cur_a[o:o + n]))
+                    o += n
+                aux = new_aux
+            else:
+                aux = dict(aux, centers=cur_c, center_active=cur_a)
+            return records, state, losses, aux
+        records, state, losses, aux = out
+        if cur_c is None:
+            auxs = aux if isinstance(aux, list) else [aux]
+            cur_c = np.concatenate([np.asarray(a["centers"])
+                                    for a in auxs])
+            cur_a = np.concatenate([np.asarray(a["center_active"])
+                                    for a in auxs])
+        state_full = _concat_trees(state) if isinstance(state, list) \
+            else state
+        # throwaway setup: the render kernels/config for the fitted
+        # layout (deterministic in the inputs; the fit states slot in)
+        cfg_r, data_r, _, _ = stream_setup(
+            images, variance, psfs, cur_c, model_psf, weights=weights,
+            center_active=cur_a, scene_valid=scene_valid,
+            box_size=box_size, n_slots=n_slots, min_snr=min_snr,
+            e_rel=e_rel, **kw)
+        render = jax.vmap(lambda s, d: engine.render(s, d, cfg_r),
+                          in_axes=(0, _data_in_axes(data_r)))
+        resid = images - render(state_full, data_r)
+        det_c, det_a, _ = detect_peaks_device(
+            resid, variance, scene_valid, max_peaks=cap, scales=scales)
+        cur_c, cur_a = _union_catalogs(cur_c, cur_a, det_c, det_a,
+                                       redetect_radius, cap)
 
 
 def _concat_trees(trees):
