@@ -285,9 +285,11 @@ def multires_records(fitter, seds, morphs, origins, active, loss, iters,
     Returns a list of dicts with ``flux`` (K, C_total — the exact model
     integral per channel, measure.flux semantics ref measure.py:24-37),
     ``centroid`` (K, 2 intensity-weighted, in model-frame pixels, NaN
-    for inactive slots — ref measure.py:40-57), ``iterations``, and
-    ``logL`` (the Gaussian log-likelihood incl. normalization when
-    ``weights`` is given, else the negative loss).
+    for inactive slots — ref measure.py:40-57), ``moments`` (K, 3
+    flux-normalized central 2nd moments s_yy/s_xx/s_xy of each source's
+    morphology), ``iterations``, and ``logL`` (the Gaussian
+    log-likelihood incl. normalization when ``weights`` is given, else
+    the negative loss).
     """
     seds = np.asarray(seds)
     morphs = np.asarray(morphs)
@@ -304,15 +306,21 @@ def multires_records(fitter, seds, morphs, origins, active, loss, iters,
         flux = (seds[b] * morphs[b].sum((-2, -1))[:, None]) \
             * active[b][:, None]
         cen = np.full((K, 2), np.nan)
+        mom = np.full((K, 3), np.nan)
         for k in range(K):
             tot = morphs[b, k].sum()
             if active[b, k] and tot > 0:
-                cen[k] = (
-                    (yy * morphs[b, k]).sum() / tot + origins[b, k, 0],
-                    (xx * morphs[b, k]).sum() / tot + origins[b, k, 1])
+                cy = (yy * morphs[b, k]).sum() / tot
+                cx = (xx * morphs[b, k]).sum() / tot
+                cen[k] = (cy + origins[b, k, 0], cx + origins[b, k, 1])
+                mom[k] = (
+                    (((yy - cy) ** 2) * morphs[b, k]).sum() / tot,
+                    (((xx - cx) ** 2) * morphs[b, k]).sum() / tot,
+                    ((yy - cy) * (xx - cx) * morphs[b, k]).sum() / tot)
         records.append({
             "flux": flux,
             "centroid": cen,
+            "moments": mom,
             "iterations": int(iters[b]),
             "logL": float(-loss[b] - log_norm[b]),
         })

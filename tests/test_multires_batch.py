@@ -105,6 +105,11 @@ class TestSyntheticAligned:
             assert err[0] < 1.5, err
             assert np.all(err < 5.0), err
             assert np.isfinite(r["logL"])
+            # moments: finite for active slots, symmetric positive trace
+            mom = np.asarray(r["moments"])
+            act = np.asarray(init[3][b])
+            assert np.all(np.isfinite(mom[act]))
+            assert np.all(mom[act][:, 0] + mom[act][:, 1] > 0)
             # logL = -loss - log_norm exactly (Gaussian normalization,
             # ref observation.py:172-186; negative here since w=400>1)
             ln = fitter.log_norm(weights)[b]
