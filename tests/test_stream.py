@@ -278,15 +278,18 @@ class TestStreamInit:
         assert bool(np.asarray(aux["overflow"])[0])
         assert int(np.asarray(state.comp_active[0][0]).sum()) == 4
 
-        flux, cen = stream._stream_records_device(state, aux)
+        flux, cen, mom = stream._stream_records_device(state, aux)
         cen = np.asarray(cen)[0]
+        mom = np.asarray(mom)[0]
         slotted = np.unique(np.asarray(aux["slot_source"][0])[
             np.asarray(state.comp_active[0][0])])
         for s in range(cen.shape[0]):
             if s in slotted:
                 assert np.all(np.isfinite(cen[s])), (s, cen[s])
+                assert np.all(np.isfinite(mom[s])), (s, mom[s])
             else:
                 assert np.all(np.isnan(cen[s])), (s, cen[s])
+                assert np.all(np.isnan(mom[s])), (s, mom[s])
 
     def test_stream_sharded_over_mesh(self, hsc):
         """Blends-axis GSPMD sharding propagates through the device init
