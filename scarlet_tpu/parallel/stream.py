@@ -90,6 +90,23 @@ def _mono_project(x, w8, keep, n_iter):
     return jax.lax.fori_loop(0, n_iter, body, X0)
 
 
+def _sanitize_stacks(images, variance, xp=jnp):
+    """Zero non-finite pixels, fill non-finite/negative variance with the
+    per-band mean finite variance (the stream's masked-pixel rules; see
+    the stream_setup comment for why).  Returns (images, variance, bad);
+    ``xp`` is np for host stacks (keeps them quantizable for upload) or
+    jnp for device-resident ones.  Bitwise inert on clean inputs."""
+    bad = (~(xp.isfinite(images) & xp.isfinite(variance))
+           | (variance < 0))
+    zero = xp.zeros((), images.dtype)
+    images = xp.where(bad, zero, images)
+    vcnt = xp.maximum(xp.sum(~bad, axis=(-2, -1)), 1).astype(variance.dtype)
+    vfill = (xp.sum(xp.where(bad, zero, variance), axis=(-2, -1))
+             / vcnt)[..., None, None]
+    variance = xp.where(bad, vfill, variance)
+    return images, variance, bad
+
+
 def _quantized_boxsize(size, cap, min_size=21, increment=10):
     """jnp version of initialization.get_minimal_boxsize: smallest
     ``min_size + k*increment`` >= size, capped at the physical box."""
@@ -558,13 +575,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     # negative variance is corrupt input too: sqrt(variance) in the init
     # noise estimates would turn it into NaN (variance 0 stays legal —
     # it is the heterogeneous-crop padding convention)
-    bad = (~(jnp.isfinite(images) & jnp.isfinite(variance))
-           | (variance < 0))
-    images = jnp.where(bad, 0.0, images)
-    vcnt = jnp.maximum(jnp.sum(~bad, axis=(-2, -1)), 1)
-    vfill = (jnp.sum(jnp.where(bad, 0.0, variance), axis=(-2, -1))
-             / vcnt)[..., None, None]
-    variance = jnp.where(bad, vfill, variance)
+    images, variance, bad = _sanitize_stacks(images, variance)
     if weights is None:
         # padding pixels of zero-padded heterogeneous crops have
         # variance 0: without the scene_valid factor they would get
@@ -750,15 +761,25 @@ def _stream_records_device(state, aux):
     m2y = jnp.einsum("bkyx,y->bk", morphs, iy * iy)
     m2x = jnp.einsum("bkyx,x->bk", morphs, ix * ix)
     mxy = jnp.einsum("bkyx,y,x->bk", morphs, iy, ix)
-    gy2 = m2y + 2 * oy * m1y + oy * oy * msum     # sum morph * y_glob^2
-    gx2 = m2x + 2 * ox * m1x + ox * ox * msum
-    gxy = mxy + oy * m1x + ox * m1y + oy * ox * msum
-    r2y = vseg((sedsum * gy2)[..., None], src)[..., 0]
-    r2x = vseg((sedsum * gx2)[..., None], src)[..., 0]
-    rxy = vseg((sedsum * gxy)[..., None], src)[..., 0]
-    myy = r2y / wsafe - cen_y ** 2
-    mxx = r2x / wsafe - cen_x ** 2
-    mxy_c = rxy / wsafe - cen_y * cen_x
+    # centralize each slot about its SOURCE's (already computed)
+    # centroid before squaring: |origin - centroid| is O(box), not
+    # O(scene), so the f32 raw-minus-center^2 cancellation never sees
+    # coordinate-squared magnitudes (on a 300-px scene the naive global
+    # form loses 10-100% of a compact source's sigma to roundoff)
+    src_c = jnp.minimum(src, K - 1)
+    ceny_s = jnp.take_along_axis(cen_y, src_c, axis=1)
+    cenx_s = jnp.take_along_axis(cen_x, src_c, axis=1)
+    # zero-flux sources have NaN centroids; their slots carry no weight
+    ceny_s = jnp.where(jnp.isfinite(ceny_s), ceny_s, 0.0)
+    cenx_s = jnp.where(jnp.isfinite(cenx_s), cenx_s, 0.0)
+    dy0 = oy - ceny_s
+    dx0 = ox - cenx_s
+    cy2 = m2y + 2 * dy0 * m1y + dy0 * dy0 * msum  # sum morph (y-cen_y)^2
+    cx2 = m2x + 2 * dx0 * m1x + dx0 * dx0 * msum
+    cxy = mxy + dy0 * m1x + dx0 * m1y + dy0 * dx0 * msum
+    myy = vseg((sedsum * cy2)[..., None], src)[..., 0] / wsafe
+    mxx = vseg((sedsum * cx2)[..., None], src)[..., 0] / wsafe
+    mxy_c = vseg((sedsum * cxy)[..., None], src)[..., 0] / wsafe
     moments2 = jnp.stack([myy, mxx, mxy_c], axis=-1)      # (B, K, 3)
     moments2 = jnp.where(wsum[..., None] != 0, moments2, jnp.nan)
     return per_source, centroid, moments2
@@ -1004,7 +1025,8 @@ def _union_catalogs(centers, active, det_c, det_a, radius, cap):
     brightest-first) join if farther than ``radius`` from every kept
     row, truncated to ``cap`` rows."""
     centers = np.asarray(centers)
-    active = np.asarray(active)
+    active = (np.ones(centers.shape[:2], bool) if active is None
+              else np.asarray(active))
     det_c = np.asarray(det_c)
     det_a = np.asarray(det_a)
     B = centers.shape[0]
@@ -1040,19 +1062,29 @@ def _deblend_redetect(images, variance, psfs, centers, model_psf,
     from .batch import _data_in_axes
 
     # sanitize once at this level so the residual subtraction stays
-    # finite (stream_setup re-sanitizes idempotently inside each pass)
-    images = jnp.asarray(images)
-    variance = jnp.asarray(variance)
-    bad = (~(jnp.isfinite(images) & jnp.isfinite(variance))
-           | (variance < 0))
-    images = jnp.where(bad, 0.0, images)
-    vcnt = jnp.maximum(jnp.sum(~bad, axis=(-2, -1)), 1)
-    vfill = (jnp.sum(jnp.where(bad, 0.0, variance), axis=(-2, -1))
-             / vcnt)[..., None, None]
-    variance = jnp.where(bad, vfill, variance)
+    # finite (stream_setup re-sanitizes idempotently inside each pass);
+    # host stacks stay numpy so the inner passes' upload_dtype
+    # quantization still applies
+    if isinstance(images, jnp.ndarray) or isinstance(variance,
+                                                     jnp.ndarray):
+        images = jnp.asarray(images)
+        variance = jnp.asarray(variance)
+        images, variance, _ = _sanitize_stacks(images, variance)
+    else:
+        images = np.ascontiguousarray(images)
+        variance = np.ascontiguousarray(variance)
+        images, variance, _ = _sanitize_stacks(images, variance, xp=np)
 
     cap = int(kw.get("max_peaks") or n_slots)
     scales = int(kw.get("detect_scales", 3))
+    B = images.shape[0]
+    spans = ([slice(0, B)] if (chunk is None or chunk >= B)
+             else [slice(i, min(i + chunk, B))
+                   for i in range(0, B, chunk)])
+
+    def sub(x, sl):
+        return None if x is None else x[sl]
+
     cur_c, cur_a = centers, center_active
     for pass_i in range(redetect + 1):
         out = deblend_device_stream(
@@ -1089,21 +1121,33 @@ def _deblend_redetect(images, variance, psfs, centers, model_psf,
                                     for a in auxs])
             cur_a = np.concatenate([np.asarray(a["center_active"])
                                     for a in auxs])
-        state_full = _concat_trees(state) if isinstance(state, list) \
-            else state
-        # throwaway setup: the render kernels/config for the fitted
-        # layout (deterministic in the inputs; the fit states slot in)
-        cfg_r, data_r, _, _ = stream_setup(
-            images, variance, psfs, cur_c, model_psf, weights=weights,
-            center_active=cur_a, scene_valid=scene_valid,
-            box_size=box_size, n_slots=n_slots, min_snr=min_snr,
-            e_rel=e_rel, **kw)
-        render = jax.vmap(lambda s, d: engine.render(s, d, cfg_r),
-                          in_axes=(0, _data_in_axes(data_r)))
-        resid = images - render(state_full, data_r)
-        det_c, det_a, _ = detect_peaks_device(
-            resid, variance, scene_valid, max_peaks=cap, scales=scales)
-        cur_c, cur_a = _union_catalogs(cur_c, cur_a, det_c, det_a,
+        # residual re-detection, per chunk (the throwaway render setup
+        # must respect the chunk memory bound like the fits do; its
+        # re-run of the init program is part of the documented pass cost)
+        if isinstance(state, list):
+            states = state
+        else:
+            states = [jax.tree.map(lambda x: x[sl], state)
+                      for sl in spans]
+        det_cs, det_as = [], []
+        for sl, st_c in zip(spans, states):
+            cfg_r, data_r, _, _ = stream_setup(
+                sub(images, sl), sub(variance, sl), sub(psfs, sl),
+                sub(cur_c, sl), model_psf, weights=sub(weights, sl),
+                center_active=sub(cur_a, sl),
+                scene_valid=sub(scene_valid, sl), box_size=box_size,
+                n_slots=n_slots, min_snr=min_snr, e_rel=e_rel, **kw)
+            render = jax.vmap(lambda s, d: engine.render(s, d, cfg_r),
+                              in_axes=(0, _data_in_axes(data_r)))
+            resid = jnp.asarray(sub(images, sl)) - render(st_c, data_r)
+            dc, da, _ = detect_peaks_device(
+                resid, jnp.asarray(sub(variance, sl)),
+                sub(scene_valid, sl), max_peaks=cap, scales=scales)
+            det_cs.append(np.asarray(dc))
+            det_as.append(np.asarray(da))
+        cur_c, cur_a = _union_catalogs(cur_c, cur_a,
+                                       np.concatenate(det_cs),
+                                       np.concatenate(det_as),
                                        redetect_radius, cap)
 
 

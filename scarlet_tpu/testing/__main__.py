@@ -71,15 +71,19 @@ def main(argv=None):
     if args.detection:
         from .api import detection_quality
 
+        import math
+
         det = detection_quality(set_ids=args.sets)
         for set_id, summary in det.items():
+            dist = summary["median_match_dist"]
             print(json.dumps({
                 "set": set_id,
                 "detection_completeness": round(summary["completeness"],
                                                 4),
                 "detection_false_rate": round(summary["false_rate"], 4),
-                "median_match_dist_px": round(
-                    summary["median_match_dist"], 3),
+                # null, not NaN: strict-JSON consumers (nothing matched)
+                "median_match_dist_px": (None if math.isnan(dist)
+                                         else round(dist, 3)),
             }))
 
     if args.baseline:

@@ -319,7 +319,8 @@ def deblend_and_measure(set_ids=(1, 2, 3), save=True, save_images=False,
                     sources, blend, record = deblend(data, max_iter=max_iter,
                                                      e_rel=e_rel)
                     record["sources"] = measure_sources(
-                        sources, data["catalog"], _channels(data))
+                        sources, data["catalog"], _channels(data),
+                        psf_var=record["model_psf_var"])
                     record["blend"] = pathlib.Path(path).name
                     records.append(record)
                     if save_images:

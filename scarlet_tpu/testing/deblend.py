@@ -85,5 +85,9 @@ def deblend(data, max_iter=None, e_rel=None):
         "logL": float(logL),
         "skipped": skipped,
         "n_sources": len(sources),
+        # the chosen model-frame PSF variance (px^2) — the shape metrics
+        # compare moments in model-PSF-convolved space, so they need the
+        # actual value, not a constant
+        "model_psf_var": sigma_model ** 2,
     }
     return sources, blend, record

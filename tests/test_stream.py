@@ -184,11 +184,11 @@ class TestStreamInit:
                 ((xx - cx) ** 2 * img).sum() / tot,
                 ((yy - cy) * (xx - cx) * img).sum() / tot,
             ])
-            # f32 centralization roundoff: raw global moments are
-            # O(coord^2 * flux) ~ 1e3-1e4 while the central result is
-            # O(10), so ~1e-3 absolute wobble is the f32 floor
+            # the device form centralizes per slot about the source
+            # centroid (O(box) offsets, no coord^2 cancellation), so it
+            # tracks the f64 oracle to f32 roundoff
             np.testing.assert_allclose(recs[0]["moments"][s], oracle,
-                                       rtol=2e-3, atol=2e-3)
+                                       rtol=3e-4, atol=3e-4)
 
     def test_weighted_flux_matches_host(self, hsc, host_setup,
                                         stream_setup_out):
