@@ -26,6 +26,27 @@ __all__ = [
 ]
 
 
+def _observation_tuple(observations):
+    """Normalize a single Observation or an iterable to a tuple."""
+    if hasattr(observations, "__iter__"):
+        return tuple(observations)
+    return (observations,)
+
+
+def _warn_nonpositive(spectrum, sky_coord):
+    """Log the reference's zero/negative-SED diagnostics (warning when the
+    whole SED is bad, info when only some bands are)."""
+    spectrum = np.asarray(spectrum)
+    if (spectrum <= 0).any():
+        msg = f"Zero or negative spectrum {spectrum} at {sky_coord}"
+        (logger.warning if (spectrum <= 0).all() else logger.info)(msg)
+
+
+def _pixel_index(obs, sky_coord):
+    """Nearest observed pixel of a (possibly sky) coordinate."""
+    return np.round(obs.get_pixel(sky_coord)).astype(int)
+
+
 def get_pixel_spectrum(sky_coord, observations, correct_psf=False, models=None,
                        concat=True):
     """Spectrum of a unit-flux single-pixel source at ``sky_coord``,
@@ -33,40 +54,30 @@ def get_pixel_spectrum(sky_coord, observations, correct_psf=False, models=None,
 
     Ref: scarlet/initialization.py:12-85.
     """
-    if models is not None:
-        assert correct_psf is False
-
-    if not hasattr(observations, "__iter__"):
-        observations = (observations,)
-        models = (models,)
-    elif models is not None:
-        assert len(models) == len(observations)
-    else:
+    single = not hasattr(observations, "__iter__")
+    observations = _observation_tuple(observations)
+    if models is None:
         models = (None,) * len(observations)
+    else:
+        assert correct_psf is False
+        # a lone observation takes its (single, possibly 3D-array) model
+        # as-is; a list of observations takes a parallel list of models
+        models = (models,) if single else tuple(models)
+        assert len(models) == len(observations)
 
     spectra = []
     for obs, model in zip(observations, models):
-        pixel = obs.get_pixel(sky_coord)
-        index = np.round(pixel).astype(int)
-        spectrum = np.array(
-            np.asarray(obs.data)[:, index[0], index[1]], copy=True)
+        iy, ix = _pixel_index(obs, sky_coord)
+        spectrum = np.array(np.asarray(obs.data)[:, iy, ix], copy=True)
 
         if correct_psf and obs.psf is not None:
-            psf_model = np.asarray(obs.psf.get_model())
-            psf_peak = psf_model.max(axis=(1, 2))
-            spectrum /= psf_peak
+            # a point source of unit intensity registers at the PSF peak
+            spectrum /= np.asarray(obs.psf.get_model()).max(axis=(1, 2))
         elif model is not None:
-            model_value = np.asarray(model)[:, index[0], index[1]]
-            spectrum /= model_value
+            spectrum /= np.asarray(model)[:, iy, ix]
 
         spectra.append(spectrum)
-
-        if np.any(spectrum <= 0):
-            msg = f"Zero or negative spectrum {spectrum} at {sky_coord}"
-            if np.all(spectrum <= 0):
-                logger.warning(msg)
-            else:
-                logger.info(msg)
+        _warn_nonpositive(spectrum, sky_coord)
 
     if concat:
         spectra = np.concatenate(spectra).reshape(-1)
@@ -77,53 +88,36 @@ def get_psf_spectrum(sky_coord, observations, compute_snr=False, concat=True):
     """PSF-weighted (matched-filter) photometry at ``sky_coord``; optionally
     also its SNR.  Ref: scarlet/initialization.py:88-170.
     """
-    if not hasattr(observations, "__iter__"):
-        observations = (observations,)
+    observations = _observation_tuple(observations)
 
     spectra = []
-    if compute_snr:
-        snr_num, snr_denom = [], []
+    snr_num = snr_denom = 0.0
+    for obs in observations:
+        # PSF-sized cutouts of data and noise around the source pixel;
+        # pixels off the observation or masked (non-finite rms) drop out
+        # of the matched-filter sums via a zeroed PSF
+        cutout_box = obs.psf.bbox + (0, *_pixel_index(obs, sky_coord))
+        rms = np.asarray(obs.noise_rms)
+        finite = np.isfinite(rms)
+        valid = cutout_box.extract_from(finite.astype(float)) > 0
+        img = np.where(valid, cutout_box.extract_from(np.asarray(obs.data)),
+                       0.0)
+        noise = cutout_box.extract_from(np.where(finite, rms, 0.0))
+        psf = np.where(valid, np.asarray(obs.psf.get_model()), 0.0)
 
-    for i, obs in enumerate(observations):
-        pixel = obs.get_pixel(sky_coord)
-        index = np.round(pixel).astype(int)
-
-        psf = np.asarray(obs.psf.get_model())
-        bbox = obs.psf.bbox + (0, *index)
-        img = bbox.extract_from(np.asarray(obs.data))
-        noise_rms = np.asarray(obs.noise_rms)
-        noise = bbox.extract_from(np.where(np.isfinite(noise_rms),
-                                           noise_rms, 0.0))
-        # invalid-pixel mask: outside the observation or masked (inf rms)
-        valid = bbox.extract_from(
-            np.isfinite(noise_rms).astype(float)) > 0
-
-        spectra.append([])
-        for c in range(obs.C):
-            mask = valid[c]
-            psf_ = psf[c][mask]
-            img_ = img[c][mask]
-            img_psf = img_ @ psf_
-            spectrum = img_psf / (psf_ @ psf_)
-            spectra[i].append(spectrum)
-            if compute_snr:
-                noise_ = noise[c][mask]
-                snr_num.append(img_psf)
-                snr_denom.append((psf_ * noise_ ** 2) @ psf_)
-        spectra[i] = np.array(spectra[i])
-
-        if np.any(spectra[i] <= 0):
-            msg = f"Zero or negative spectrum {spectra[i]} at {sky_coord}"
-            if np.all(spectra[i] <= 0):
-                logger.warning(msg)
-            else:
-                logger.info(msg)
+        # matched filter per channel: flux = <img, psf> / <psf, psf>
+        img_psf = np.sum(img * psf, axis=(1, 2))
+        spectrum = img_psf / np.sum(psf * psf, axis=(1, 2))
+        spectra.append(spectrum)
+        _warn_nonpositive(spectrum, sky_coord)
+        if compute_snr:
+            snr_num = snr_num + img_psf.sum()
+            snr_denom = snr_denom + np.sum(psf * noise ** 2 * psf)
 
     if concat:
         spectra = np.concatenate(spectra).reshape(-1)
     if compute_snr:
-        snr = np.sum(snr_num) / np.sqrt(np.sum(snr_denom))
-        return spectra, snr
+        return spectra, snr_num / np.sqrt(snr_denom)
     return spectra
 
 
@@ -131,43 +125,33 @@ def get_minimal_boxsize(size, min_size=21, increment=10):
     """Bucket a size into {21, 31, 41, ...}: small and quantized so jit
     recompiles stay rare.  Ref: scarlet/initialization.py:173-177.
     """
-    boxsize = min_size
-    while boxsize < size:
-        boxsize += increment
-    return boxsize
+    steps = int(np.ceil(max(size - min_size, 0) / increment))
+    return min_size + increment * steps
 
 
 def trim_morphology(center_index, morph, bg_thresh=0, boxsize=None):
     """Zero sub-threshold pixels and cut a centered odd box around the
     remaining flux.  Ref: scarlet/initialization.py:180-210.
     """
-    morph = np.array(morph, copy=True)
-    mask = morph > bg_thresh
-    morph[~mask] = 0
-
-    bbox = Box.from_data(morph, min_value=0)
-    if bbox.contains(center_index):
-        size = 2 * max(
-            (
-                center_index[0] - bbox.start[-2],
-                bbox.stop[0] - center_index[-2],
-                center_index[1] - bbox.start[-1],
-                bbox.stop[1] - center_index[-1],
-            )
-        )
-    else:
-        size = 0
+    morph = np.where(np.asarray(morph) > bg_thresh, morph, 0)
 
     if boxsize is None:
-        boxsize = get_minimal_boxsize(size)
+        # smallest bucketed odd box, centered on the source, covering every
+        # surviving pixel: twice the largest center-to-edge reach
+        flux_box = Box.from_data(morph, min_value=0)
+        cy, cx = center_index
+        if flux_box.contains(center_index):
+            reach = max(cy - flux_box.start[-2], flux_box.stop[-2] - cy,
+                        cx - flux_box.start[-1], flux_box.stop[-1] - cx)
+        else:
+            reach = 0
+        boxsize = get_minimal_boxsize(2 * reach)
 
-    bottom = center_index[0] - boxsize // 2
-    top = center_index[0] + boxsize // 2 + 1
-    left = center_index[1] - boxsize // 2
-    right = center_index[1] + boxsize // 2 + 1
-    bbox = Box.from_bounds((bottom, top), (left, right))
-    morph = bbox.extract_from(morph)
-    return morph, bbox
+    half = boxsize // 2
+    bbox = Box.from_bounds(
+        (center_index[0] - half, center_index[0] + half + 1),
+        (center_index[1] - half, center_index[1] + half + 1))
+    return bbox.extract_from(morph), bbox
 
 
 def build_initialization_image(observations, spectra=None):
@@ -183,50 +167,51 @@ def build_initialization_image(observations, spectra=None):
 
     model_frame = observations[0].model_frame
 
+    def channel_selector(obs):
+        """Which model channels this same-grid observation covers, or None
+        for resampling renderers (excluded from the coadd)."""
+        if not isinstance(obs.renderer, (NullRenderer, ConvolutionRenderer)):
+            return None
+        cmap = obs.renderer.channel_map
+        return slice(None) if cmap is None else cmap
+
+    # per-observation data/variance planes on the model grid, cached on the
+    # first observation (many sources share one coadd)
     if not hasattr(observations[0], "_detect"):
-        detect, var = [], []
+        planes = []
         for obs in observations:
-            if not isinstance(obs.renderer, (NullRenderer,
-                                             ConvolutionRenderer)):
+            cmap = channel_selector(obs)
+            if cmap is None:
                 continue
-            detect_ = np.zeros(model_frame.shape, dtype=model_frame.dtype)
-            var_ = np.zeros(model_frame.shape, dtype=model_frame.dtype)
             data_slice, model_slice = obs.renderer.slices
             rms = np.where(np.isfinite(obs.noise_rms), obs.noise_rms, 0.0)
-            cmap = obs.renderer.channel_map
-            if cmap is None:
-                cmap = slice(None)
-            detect_[cmap][model_slice] += np.asarray(obs.data)[data_slice]
-            var_[cmap][model_slice] += rms[data_slice] ** 2
-            detect.append(detect_)
-            var.append(var_)
-        detect = np.array(detect)
-        var = np.array(var)
-        observations[0]._detect = (detect, var)
+            d, v = (np.zeros(model_frame.shape, dtype=model_frame.dtype)
+                    for _ in range(2))
+            d[cmap][model_slice] += np.asarray(obs.data)[data_slice]
+            v[cmap][model_slice] += rms[data_slice] ** 2
+            planes.append((d, v))
+        observations[0]._detect = tuple(
+            np.array(x) for x in zip(*planes))
 
     detect, var = observations[0]._detect
 
-    spectrum = []
-    for i, obs in enumerate(observations):
-        if not isinstance(obs.renderer, (NullRenderer, ConvolutionRenderer)):
-            continue
-        spectrum_ = np.zeros(model_frame.C)
-        cmap = obs.renderer.channel_map
+    # per-observation channel weights: the provided SED (or 1) on covered
+    # channels, zero elsewhere
+    seds = []
+    for obs, sed in zip(observations, spectra):
+        cmap = channel_selector(obs)
         if cmap is None:
-            cmap = slice(None)
-        if spectra[i] is not None:
-            spectrum_[cmap] = spectra[i]
-        else:
-            spectrum_[cmap] = 1
-        spectrum.append(spectrum_)
-    spectrum = np.stack(spectrum, axis=0)[:, :, None, None]
-    weight = np.zeros(var.shape)
-    sel = var > 0
-    weight[sel] = 1 / var[sel]
-    weight = weight * spectrum
-    detect_image = (weight * detect).sum(axis=(0, 1))
-    var_image = (spectrum * weight).sum(axis=(0, 1))
-    return detect_image, np.sqrt(var_image)
+            continue
+        plane_sed = np.zeros(model_frame.C)
+        plane_sed[cmap] = 1 if sed is None else sed
+        seds.append(plane_sed)
+    seds = np.asarray(seds)[:, :, None, None]
+
+    with np.errstate(divide="ignore"):
+        inv_var = np.where(var > 0, 1.0 / np.where(var > 0, var, 1.0), 0.0)
+    weight = inv_var * seds
+    return (weight * detect).sum(axis=(0, 1)), \
+        np.sqrt((seds * weight).sum(axis=(0, 1)))
 
 
 def init_all_sources(frame, centers, observations, thresh=1, max_components=1,
@@ -236,8 +221,7 @@ def init_all_sources(frame, centers, observations, thresh=1, max_components=1,
     """Initialize all sources, with the fallback ladder and optional joint
     spectrum solve.  Ref: scarlet/initialization.py:287-363.
     """
-    if not hasattr(observations, "__iter__"):
-        observations = (observations,)
+    observations = _observation_tuple(observations)
 
     sources = []
     skipped = []
@@ -270,15 +254,14 @@ def init_source(frame, center, observations, thresh=1, max_components=1,
     """
     from .models.source import ExtendedSource
 
-    if not hasattr(observations, "__iter__"):
-        observations = (observations,)
+    observations = _observation_tuple(observations)
 
     if fallback:
+        # cap the component count by detection significance: one component
+        # per min_snr units of PSF-photometry SNR, at least min_components
         _, psf_snr = get_psf_spectrum(center, observations, compute_snr=True)
-        max_components = int(np.min([
-            max_components,
-            np.max([min_components, np.floor(psf_snr / min_snr).astype(int)]),
-        ]))
+        snr_cap = max(min_components, int(psf_snr // min_snr))
+        max_components = min(int(max_components), snr_cap)
 
     while max_components >= 0:
         try:
@@ -314,77 +297,76 @@ def set_spectra_to_match(sources, observations):
     import jax.numpy as jnp
     from .models.component import FactorizedComponent, CombinedComponent
 
-    if not hasattr(observations, "__iter__"):
-        observations = (observations,)
+    observations = _observation_tuple(observations)
     model_frame = observations[0].model_frame
 
-    parameters = []
-    update_of = []
-    models = []
-    for i, src in enumerate(sources):
-        if isinstance(src, CombinedComponent):
-            components = src.children
-        else:
-            components = (src,)
-        for j, c in enumerate(components):
-            p = None
-            if isinstance(c, FactorizedComponent):
-                own = c.parameters
-                for q in own:
-                    if q.name == "spectrum":
-                        p = q
-                        break
-            parameters.append(p)
-            if p is not None and not p.fixed:
-                p.set(np.ones(p.shape))
-            model = np.asarray(c.get_model(frame=model_frame))
+    def flat_components(sources):
+        for i, src in enumerate(sources):
+            children = src.children if isinstance(src, CombinedComponent) \
+                else (src,)
+            for j, c in enumerate(children):
+                yield i, j, c
 
-            K_ = len(models)
-            update_of.append(K_)
-            for l in range(K_):
-                if np.allclose(model, models[l]):
-                    update_of[-1] = l
-                    logger.warning(
-                        f"Source {i}, Component {j} has a model identical to "
-                        "another component; spectra will be identical.")
-            if update_of[-1] == K_:
-                models.append(model)
+    def spectrum_param(component):
+        if not isinstance(component, FactorizedComponent):
+            return None
+        return next((q for q in component.parameters
+                     if q.name == "spectrum"), None)
+
+    # render each component at unit spectrum; components with numerically
+    # identical unit models share one solve row (the dedup keeps the normal
+    # matrix invertible)
+    parameters, update_of, models = [], [], []
+    for i, j, c in flat_components(sources):
+        p = spectrum_param(c)
+        parameters.append(p)
+        if p is not None and not p.fixed:
+            p.set(np.ones(p.shape))
+        model = np.asarray(c.get_model(frame=model_frame))
+
+        row = next((r for r, m in enumerate(models)
+                    if np.allclose(model, m)), None)
+        if row is None:
+            update_of.append(len(models))
+            models.append(model)
+        else:
+            update_of.append(row)
+            logger.warning(
+                f"Source {i}, Component {j} has a model identical to "
+                "another component; spectra will be identical.")
     models = np.array(models)
     K_ = len(models)
 
     for obs in observations:
-        C = obs.C
         images = np.asarray(obs.data)
         weights = np.asarray(obs.weights)
         morphs = np.stack(
             [np.asarray(obs.render(jnp.asarray(model))) for model in models],
             axis=0)
-        spectra = np.zeros((K_, C))
-        for c in range(C):
+        spectra = np.zeros((K_, obs.C))
+        for c in range(obs.C):
             im = images[c].reshape(-1)
             w = weights[c].reshape(-1)
-            m = morphs[:, c, :, :].reshape(K_, -1)
-            mw = m * w[None, :]
-            # components whose flux lies mostly in zero-weight pixels are
-            # excluded from the solve in this channel
+            m = morphs[:, c].reshape(K_, -1)
+            mw = m * w
+
+            # exclude components whose flux lies mostly in zero-weight
+            # pixels from this channel's solve (ref threshold: the weighted
+            # flux fraction vs the mean weight must exceed 0.1)
             with np.errstate(invalid="ignore", divide="ignore"):
-                nonzero = np.sum(mw, axis=1) / np.sum(m, axis=1) / \
-                    np.mean(w) > 0.1
-            nonzero = np.flatnonzero(nonzero)
-            if len(nonzero) == K_:
-                covar = np.linalg.inv(mw @ m.T)
-                spectra[:, c] = covar @ m @ (im * w)
-            elif len(nonzero) > 0:
-                covar = np.linalg.inv(mw[nonzero] @ m[nonzero].T)
-                spectra[nonzero, c] = covar @ m[nonzero] @ (im * w)
+                coverage = mw.sum(axis=1) / m.sum(axis=1) / w.mean()
+            keep = np.flatnonzero(coverage > 0.1)
+            if keep.size:
+                normal = mw[keep] @ m[keep].T
+                spectra[keep, c] = np.linalg.inv(normal) @ (mw[keep] @ im)
 
         cmap = obs.renderer.channel_map
         if cmap is None:
             cmap = slice(None)
-        for k, p in enumerate(parameters):
+        for p, row in zip(parameters, update_of):
             if p is not None and not p.fixed:
                 val = np.asarray(p.value).copy()
-                val[cmap] = spectra[update_of[k]]
+                val[cmap] = spectra[row]
                 p.set(val)
 
     for p in parameters:

@@ -50,6 +50,34 @@ def _mean_noise_rms(observations):
     return np.concatenate(out).reshape(-1)
 
 
+def _as_observations(observations):
+    """Normalize a single Observation or an iterable to a tuple."""
+    if hasattr(observations, "__iter__"):
+        return tuple(observations)
+    return (observations,)
+
+
+def _center_param(model_frame, sky_coord, step=0.01):
+    """The optimizable (y, x) center parameter every positional source
+    carries (ref source.py uses steps 0.01-0.03 per class)."""
+    return Parameter(model_frame.get_pixel(sky_coord), name="center",
+                     step=step)
+
+
+def _noise_floored_spectrum(model_frame, values, observations, scale=1.0):
+    """TabulatedSpectrum whose minimum step is the mean per-band noise RMS
+    (optionally rescaled by a profile peak value)."""
+    rms = _mean_noise_rms(observations)
+    return TabulatedSpectrum(model_frame, values / scale,
+                             min_step=rms / scale)
+
+
+def _box_at(center_index, shape):
+    """A box of ``shape`` whose center pixel lands on ``center_index``."""
+    origin = tuple(int(c) - n // 2 for c, n in zip(center_index, shape))
+    return Box(tuple(shape), origin=origin)
+
+
 class NullSource(Component):
     """A source that contributes nothing. Ref: scarlet/source.py:24-58."""
 
@@ -86,18 +114,14 @@ class PointSource(FactorizedComponent):
     """
 
     def __init__(self, model_frame, sky_coord, observations):
-        if not hasattr(observations, "__iter__"):
-            observations = (observations,)
-
-        center = model_frame.get_pixel(sky_coord)
-        center = Parameter(center, name="center", step=3e-2)
-        morphology = PointSourceMorphology(model_frame, center)
-
-        spectrum = init.get_pixel_spectrum(sky_coord, observations,
-                                           correct_psf=True)
-        noise_rms = _mean_noise_rms(observations)
-        spectrum = TabulatedSpectrum(model_frame, spectrum, min_step=noise_rms)
-
+        observations = _as_observations(observations)
+        morphology = PointSourceMorphology(
+            model_frame, _center_param(model_frame, sky_coord, step=3e-2))
+        spectrum = _noise_floored_spectrum(
+            model_frame,
+            init.get_pixel_spectrum(sky_coord, observations,
+                                    correct_psf=True),
+            observations)
         super().__init__(model_frame, spectrum, morphology)
         self.center = morphology.center
 
@@ -107,27 +131,24 @@ class GaussianSource(FactorizedComponent):
 
     def __init__(self, model_frame, sky_coord, sigma, ellipticity,
                  observations):
-        if not hasattr(observations, "__iter__"):
-            observations = (observations,)
-
-        center = model_frame.get_pixel(sky_coord)
-        center = Parameter(center, name="center", step=0.01)
+        observations = _as_observations(observations)
         sigma = Parameter(np.array((sigma,)), name="radius",
                           step=relative_step)
         if ellipticity is not None:
             ellipticity = Parameter(np.asarray(ellipticity),
                                     name="ellipticity", step=0.01)
+        morphology = GaussianMorphology(
+            model_frame, _center_param(model_frame, sky_coord), sigma,
+            ellipticity=ellipticity)
 
-        morphology = GaussianMorphology(model_frame, center, sigma,
-                                        ellipticity=ellipticity)
-
-        spectrum = init.get_pixel_spectrum(sky_coord, observations,
-                                           correct_psf=False)
-        vmax = float(np.asarray(morphology.f(jnp.zeros(()))))
-        spectrum = spectrum / vmax
-        noise_rms = _mean_noise_rms(observations) / vmax
-        spectrum = TabulatedSpectrum(model_frame, spectrum, min_step=noise_rms)
-
+        # the profile is peak-normalized by its central value, so the pixel
+        # spectrum (and its noise floor) rescale by the same peak
+        peak = float(np.asarray(morphology.f(jnp.zeros(()))))
+        spectrum = _noise_floored_spectrum(
+            model_frame,
+            init.get_pixel_spectrum(sky_coord, observations,
+                                    correct_psf=False),
+            observations, scale=peak)
         super().__init__(model_frame, spectrum, morphology)
         self.center = morphology.center
 
@@ -140,29 +161,23 @@ class SpergelSource(FactorizedComponent):
 
     def __init__(self, model_frame, sky_coord, nu, rhalf, ellipticity,
                  observations):
-        if not hasattr(observations, "__iter__"):
-            observations = (observations,)
-
-        center = model_frame.get_pixel(sky_coord)
-        center = Parameter(center, name="center", step=0.01)
+        observations = _as_observations(observations)
         nu = Parameter(np.array((nu,), dtype=float), name="nu", step=0.01)
-        rstep = partial(relative_step, factor=0.01)
         rhalf = Parameter(np.array((rhalf,), dtype=float), name="radius",
-                          step=rstep)
+                          step=partial(relative_step, factor=0.01))
         if ellipticity is not None:
             ellipticity = Parameter(np.asarray(ellipticity),
                                     name="ellipticity", step=0.01)
+        morphology = SpergelMorphology(
+            model_frame, _center_param(model_frame, sky_coord), nu, rhalf,
+            ellipticity=ellipticity)
 
-        morphology = SpergelMorphology(model_frame, center, nu, rhalf,
-                                       ellipticity=ellipticity)
-
-        spectrum = init.get_pixel_spectrum(sky_coord, observations,
-                                           correct_psf=False)
-        vmax = float(np.asarray(morphology.f(jnp.zeros(()))))
-        spectrum = spectrum / vmax
-        noise_rms = _mean_noise_rms(observations) / vmax
-        spectrum = TabulatedSpectrum(model_frame, spectrum, min_step=noise_rms)
-
+        peak = float(np.asarray(morphology.f(jnp.zeros(()))))
+        spectrum = _noise_floored_spectrum(
+            model_frame,
+            init.get_pixel_spectrum(sky_coord, observations,
+                                    correct_psf=False),
+            observations, scale=peak)
         super().__init__(model_frame, spectrum, morphology)
         self.center = morphology.center
 
@@ -175,23 +190,21 @@ class CompactExtendedSource(FactorizedComponent):
 
     def __init__(self, model_frame, sky_coord, observations, shifting=False,
                  resizing=True, boxsize=None):
-        if not hasattr(observations, "__iter__"):
-            observations = (observations,)
-
+        observations = _as_observations(observations)
         assert model_frame.psf is not None
         morph, bbox = self.init_morph(model_frame, sky_coord, boxsize=boxsize)
-        center = model_frame.get_pixel(sky_coord)
         morphology = ExtendedSourceMorphology(
-            model_frame, center, morph, bbox=bbox, monotonic="angle",
-            symmetric=False, min_grad=0, shifting=shifting, resizing=resizing,
+            model_frame, model_frame.get_pixel(sky_coord), morph, bbox=bbox,
+            monotonic="angle", symmetric=False, min_grad=0,
+            shifting=shifting, resizing=resizing,
         )
 
-        spectrum = init.get_pixel_spectrum(sky_coord, observations,
-                                           correct_psf=True)
-        spectrum = spectrum / morph.sum()
-        noise_rms = _mean_noise_rms(observations)
-        spectrum = TabulatedSpectrum(model_frame, spectrum, min_step=noise_rms)
-
+        # peak-pixel SED rescaled so spectrum x morph carries the peak flux
+        spectrum = _noise_floored_spectrum(
+            model_frame,
+            init.get_pixel_spectrum(sky_coord, observations,
+                                    correct_psf=True) / morph.sum(),
+            observations)
         super().__init__(model_frame, spectrum, morphology)
         self.center = morphology.center
 
@@ -201,30 +214,19 @@ class CompactExtendedSource(FactorizedComponent):
 
         Ref: scarlet/source.py:315-364.
         """
-        center = frame.get_pixel(sky_coord)
-        center_index = np.round(center).astype(int)
-
-        morph_ = np.asarray(frame.psf.get_model()).mean(axis=0)
-        origin = (
-            center_index[0] - (morph_.shape[0] // 2),
-            center_index[1] - (morph_.shape[1] // 2),
-        )
-        bbox_ = Box(morph_.shape, origin=origin)
-
+        center_index = np.round(frame.get_pixel(sky_coord)).astype(int)
+        psf_image = np.asarray(frame.psf.get_model()).mean(axis=0)
         if boxsize is None:
-            boxsize = init.get_minimal_boxsize(max(morph_.shape))
+            boxsize = init.get_minimal_boxsize(max(psf_image.shape))
 
-        morph = np.zeros((boxsize, boxsize))
-        origin = (
-            center_index[0] - (morph.shape[0] // 2),
-            center_index[1] - (morph.shape[1] // 2),
-        )
-        bbox = Box(morph.shape, origin=origin)
-
-        slices = overlapped_slices(bbox, bbox_)
-        morph[slices[0]] = morph_[slices[1]]
-        morph /= morph.max()
-        return morph, bbox
+        # paste the band-averaged PSF into the (possibly larger) seed box,
+        # both centered on the source pixel
+        bbox = _box_at(center_index, (boxsize, boxsize))
+        morph = np.zeros(bbox.shape)
+        dst, src = overlapped_slices(bbox, _box_at(center_index,
+                                                   psf_image.shape))
+        morph[dst] = psf_image[src]
+        return morph / morph.max(), bbox
 
 
 class SingleExtendedSource(FactorizedComponent):
@@ -234,14 +236,11 @@ class SingleExtendedSource(FactorizedComponent):
 
     def __init__(self, model_frame, sky_coord, observations, thresh=1.0,
                  shifting=False, resizing=True, boxsize=None):
-        if not hasattr(observations, "__iter__"):
-            observations = (observations,)
-
+        observations = _as_observations(observations)
         spectra = init.get_pixel_spectrum(sky_coord, observations,
                                           concat=False)
-        noise_rms = _mean_noise_rms(observations)
-        spectrum = np.concatenate(spectra).reshape(-1)
-        spectrum = TabulatedSpectrum(model_frame, spectrum, min_step=noise_rms)
+        spectrum = _noise_floored_spectrum(
+            model_frame, np.concatenate(spectra).reshape(-1), observations)
 
         image, std = init.build_initialization_image(observations,
                                                      spectra=spectra)
@@ -249,11 +248,10 @@ class SingleExtendedSource(FactorizedComponent):
             model_frame, sky_coord, image, std, thresh=thresh, symmetric=True,
             monotonic="flat", min_grad=0, boxsize=boxsize,
         )
-
-        center = model_frame.get_pixel(sky_coord)
         morphology = ExtendedSourceMorphology(
-            model_frame, center, morph, bbox=bbox, monotonic="angle",
-            symmetric=False, min_grad=0, shifting=shifting, resizing=resizing,
+            model_frame, model_frame.get_pixel(sky_coord), morph, bbox=bbox,
+            monotonic="angle", symmetric=False, min_grad=0,
+            shifting=shifting, resizing=resizing,
         )
         super().__init__(model_frame, spectrum, morphology)
         self.center = morphology.center
@@ -357,61 +355,56 @@ class MultiExtendedSource(CombinedComponent):
         if flux_percentiles is None:
             flux_percentiles = (25,)
         assert K == len(flux_percentiles) + 1
-
-        if not hasattr(observations, "__iter__"):
-            observations = (observations,)
+        observations = _as_observations(observations)
 
         source = ExtendedSource(model_frame, sky_coord, observations,
                                 thresh=thresh, boxsize=boxsize)
         spectrum, morphology = source.children
-        spectrum = np.asarray(spectrum.get_parameter(0))
+        seed_sed = np.asarray(spectrum.get_parameter(0))
         morphs, boxes = self.init_morphs(morphology, flux_percentiles)
 
-        components = []
         center = model_frame.get_pixel(sky_coord)
         noise_rms = _mean_noise_rms(observations)
-        for k in range(K):
-            spectrum_ = TabulatedSpectrum(model_frame, spectrum.copy(),
-                                          min_step=noise_rms / 10)
-            morphology_ = ExtendedSourceMorphology(
-                model_frame, center, morphs[k], bbox=boxes[k],
+        components = []
+        for morph_k, box_k in zip(morphs, boxes):
+            morphology_k = ExtendedSourceMorphology(
+                model_frame, center, morph_k, bbox=box_k,
                 monotonic="angle", symmetric=False, min_grad=0,
                 shifting=shifting, resizing=resizing,
             )
-            self.center = morphology_.center
-            components.append(
-                FactorizedComponent(model_frame, spectrum_, morphology_))
+            self.center = morphology_k.center
+            components.append(FactorizedComponent(
+                model_frame,
+                TabulatedSpectrum(model_frame, seed_sed.copy(),
+                                  min_step=noise_rms / 10),
+                morphology_k))
         super().__init__(components)
 
     @staticmethod
     def init_morphs(morphology, flux_percentiles):
-        """Layer the seed morphology into flux shells. Ref: source.py:713-746."""
+        """Layer the seed morphology into flux shells.
+
+        Shell ``k`` holds the flux of every pixel between consecutive
+        percentile thresholds ``t_k < t_{k+1}`` of the peak value — a
+        vectorized re-expression of the reference's sequential peeling
+        (ref source.py:713-746): shell_k = clip(morph - t_k, 0, t_{k+1}-t_k).
+        """
         morph = np.asarray(morphology.get_model())
-        bbox = morphology.bbox
-
         K = len(flux_percentiles) + 1
-        Ny, Nx = morph.shape
-        morphs = np.zeros((K, Ny, Nx), dtype=morph.dtype)
-        morphs[0, :, :] = morph[:, :]
-        max_flux = morph.max()
-        percentiles_ = np.sort(flux_percentiles)
-        last_thresh = 0
-        for k in range(1, K):
-            perc = percentiles_[k - 1]
-            flux_thresh = perc * max_flux / 100
-            mask_ = morph > flux_thresh
-            morphs[k - 1][mask_] = flux_thresh - last_thresh
-            morphs[k][mask_] = morph[mask_] - flux_thresh
-            last_thresh = flux_thresh
 
-        for k in range(K):
-            if np.all(morphs[k] <= 0):
+        cuts = np.sort(np.asarray(flux_percentiles, dtype=morph.dtype))
+        bounds = np.concatenate(
+            [[0.0], cuts * morph.max() / 100.0, [np.inf]])
+        lo = bounds[:-1, None, None]
+        shells = np.clip(morph[None] - lo, 0.0,
+                         (bounds[1:, None, None] - lo)).astype(morph.dtype)
+
+        for k, shell in enumerate(shells):
+            if np.all(shell <= 0):
                 logger.warning(
                     f"Zero or negative morphology for component {k}")
-            morphs[k] /= max(morphs[k].max(), 1e-20)
-
-        boxes = tuple(bbox.copy() for _ in range(K))
-        return morphs, boxes
+        shells /= np.maximum(shells.max(axis=(1, 2), keepdims=True), 1e-20)
+        return shells, tuple(morphology.bbox.copy() for _ in range(K))
 
 
 def ExtendedSource(model_frame, sky_coord, observations, K=1,

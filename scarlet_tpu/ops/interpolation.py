@@ -52,19 +52,17 @@ def get_filter_coords(filter_values, center=None):
     """
     filter_values = np.asarray(filter_values)
     if filter_values.ndim != 2:
-        raise ValueError("`filter_values` must be 2D")
+        raise ValueError("expected a 2D filter image")
+    fh, fw = filter_values.shape
     if center is None:
-        if filter_values.shape[0] % 2 == 0 or filter_values.shape[1] % 2 == 0:
+        if fh % 2 == 0 or fw % 2 == 0:
             raise ValueError(
                 "Ambiguous center of even-shaped `filter_values`; pass `center`."
             )
-        center = [filter_values.shape[0] // 2, filter_values.shape[1] // 2]
-    x = np.arange(filter_values.shape[1])
-    y = np.arange(filter_values.shape[0])
-    x, y = np.meshgrid(x, y)
-    x -= center[1]
-    y -= center[0]
-    return np.dstack([y, x])
+        center = (fh // 2, fw // 2)
+    grid = np.indices((fh, fw))            # (2, fh, fw): [y, x] planes
+    grid -= np.asarray(center).reshape(2, 1, 1)
+    return np.moveaxis(grid, 0, -1)        # (fh, fw, 2) of (dy, dx)
 
 
 def get_filter_bounds(coords):
@@ -72,38 +70,43 @@ def get_filter_bounds(coords):
 
     Ref: scarlet/interpolation.py:44-65.
     """
-    z = np.zeros((len(coords),), dtype=int)
-    y_start = np.max([z, coords[:, 0]], axis=0)
-    y_end = -np.min([z, coords[:, 0]], axis=0)
-    x_start = np.max([z, coords[:, 1]], axis=0)
-    x_end = -np.min([z, coords[:, 1]], axis=0)
-    return y_start, y_end, x_start, x_end
+    dy, dx = np.asarray(coords, dtype=int).T
+    # positive offsets clip the start, negative ones clip the end
+    return (np.clip(dy, 0, None), np.clip(-dy, 0, None),
+            np.clip(dx, 0, None), np.clip(-dx, 0, None))
 
 
 # ---------------------------------------------------------------------------
 # Centered projections
 # ---------------------------------------------------------------------------
+def _axis_overlap(n_in, n_out, start):
+    """Paired (frame, image) slices of the overlap between an ``n_in``-pixel
+    interval anchored at ``start`` and the frame interval [0, n_out)."""
+    lo = max(start, 0)
+    hi = min(start + n_in, n_out)
+    return slice(lo, hi), slice(lo - start, hi - start)
+
+
 def get_projection_slices(image, shape, yx0=None):
     """Slices to place ``image`` (centered) into a frame of ``shape``.
 
-    Ref: scarlet/interpolation.py:68-116.
+    ``yx0`` anchors the image's lower-left corner relative to the frame
+    center (``shape // 2``); by default the image center lands there.
+    Returns ``(frame_slices, image_slices, (bottom, top, left, right))``
+    such that ``frame[frame_slices] = image[image_slices]`` clips exactly.
+
+    Behavioral parity: scarlet/interpolation.py:68-116 (restructured as a
+    per-axis interval intersection).
     """
-    Ny, Nx = shape
     iNy, iNx = image.shape
     if yx0 is None:
         yx0 = (-(iNy // 2), -(iNx // 2))
-    bottom, left = yx0
-    bottom += Ny >> 1
-    left += Nx >> 1
-
-    top = bottom + iNy
-    yslice = slice(max(0, bottom), min(Ny, top))
-    iyslice = slice(max(0, -bottom), max(Ny - bottom, -top))
-
-    right = left + iNx
-    xslice = slice(max(0, left), min(Nx, right))
-    ixslice = slice(max(0, -left), max(Nx - left, -right))
-    return (yslice, xslice), (iyslice, ixslice), (bottom, top, left, right)
+    bottom = yx0[0] + (shape[0] >> 1)
+    left = yx0[1] + (shape[1] >> 1)
+    yslice, iyslice = _axis_overlap(iNy, shape[0], bottom)
+    xslice, ixslice = _axis_overlap(iNx, shape[1], left)
+    return ((yslice, xslice), (iyslice, ixslice),
+            (bottom, bottom + iNy, left, left + iNx))
 
 
 def project_image(image, shape, yx0=None):
@@ -111,9 +114,9 @@ def project_image(image, shape, yx0=None):
 
     Ref: scarlet/interpolation.py:119-146.
     """
-    bb, ibb, _ = get_projection_slices(image, shape, yx0)
-    result = jnp.zeros(shape, dtype=image.dtype)
-    return result.at[bb].set(image[ibb])
+    frame_bb, image_bb, _ = get_projection_slices(image, shape, yx0)
+    out = jnp.zeros(shape, dtype=image.dtype)
+    return out.at[frame_bb].set(image[image_bb])
 
 
 def common_projections(img1, img2):
@@ -121,53 +124,41 @@ def common_projections(img1, img2):
 
     Ref: scarlet/interpolation.py:149-173.
     """
-    h1, w1 = img1.shape
-    h2, w2 = img2.shape
-    shape = (max(h1, h2), max(w1, w2))
+    shape = tuple(max(a, b) for a, b in zip(img1.shape, img2.shape))
     return project_image(img1, shape), project_image(img2, shape)
 
 
 # ---------------------------------------------------------------------------
 # 1D interpolation kernels (host-side: scalar fractional shifts)
 # ---------------------------------------------------------------------------
+def _check_fractional(dx):
+    if abs(dx) > 1:
+        raise ValueError(f"fractional shift must lie in [-1, 1], got {dx}")
+
+
 def bilinear(dx):
     """2-tap linear kernel for fractional shift ``dx``.
 
     Ref: scarlet/interpolation.py:176-202.
     """
-    if np.abs(dx) > 1:
-        raise ValueError("The fractional shift dx must be between -1 and 1")
-    if dx >= 0:
-        window = np.arange(2)
-        y = np.array([1 - dx, dx])
-    else:
-        window = np.array([-1, 0])
-        y = np.array([-dx, 1 + dx])
-    return y, window
+    _check_fractional(dx)
+    window = np.arange(2) if dx >= 0 else np.arange(-1, 1)
+    frac = dx - window[0]
+    return np.array([1 - frac, frac]), window
 
 
 def cubic_spline(dx, a=1, b=0):
     """4-tap cubic spline kernel (Keys family). Ref: interpolation.py:205-250."""
-    if np.abs(dx) > 1:
-        raise ValueError("The fractional shift dx must be between -1 and 1")
-
-    def inner(x):
-        third = (-6 * a - 9 * b + 12) * x ** 3
-        second = (6 * a + 12 * b - 18) * x ** 2
-        zero = -2 * b + 6
-        return (zero + second + third) / 6
-
-    def outer(x):
-        third = (-6 * a - b) * x ** 3
-        second = (30 * a + 6 * b) * x ** 2
-        first = (-48 * a - 12 * b) * x
-        zero = 24 * a + 8 * b
-        return (zero + first + second + third) / 6
-
-    window = np.arange(-1, 3) + np.floor(dx)
+    _check_fractional(dx)
+    window = (np.arange(-1, 3) + np.floor(dx)).astype(int)
     x = np.abs(dx - window)
-    result = np.piecewise(x, [x <= 1, (x > 1) & (x < 2)], [inner, outer])
-    return result, window.astype(int)
+    # Horner forms of the Keys piecewise cubics on |x|<=1 and 1<|x|<2
+    near = ((12 - 6 * a - 9 * b) / 6 * x + (6 * a + 12 * b - 18) / 6) \
+        * x * x + (6 - 2 * b) / 6
+    far = (((-6 * a - b) / 6 * x + (30 * a + 6 * b) / 6) * x
+           + (-48 * a - 12 * b) / 6) * x + (24 * a + 8 * b) / 6
+    result = np.select([x <= 1, x < 2], [near, far], default=0.0)
+    return result, window
 
 
 def catmull_rom(dx):
@@ -183,39 +174,30 @@ def mitchel_netravali(dx):
 
 def lanczos(dx, a=3):
     """2a-tap Lanczos kernel. Ref: interpolation.py:270-289."""
-    if np.abs(dx) > 1:
-        raise ValueError("The fractional shift dx must be between -1 and 1")
-    window = np.arange(-a + 1, a + 1) + np.floor(dx)
-    y = np.sinc(dx - window) * np.sinc((dx - window) / a)
-    return y, window.astype(int)
+    _check_fractional(dx)
+    window = (np.arange(1 - a, a + 1) + np.floor(dx)).astype(int)
+    t = dx - window
+    return np.sinc(t) * np.sinc(t / a), window
 
 
 def quintic_spline(dx, dtype=np.float64):
     """7-tap quintic spline kernel. Ref: interpolation.py:292-309."""
-
-    def inner(x):
-        return 1 + x ** 3 / 12 * (-95 + 138 * x - 55 * x ** 2)
-
-    def middle(x):
-        return (x - 1) * (x - 2) / 24 * (-138 + 348 * x - 249 * x ** 2 + 55 * x ** 3)
-
-    def outer(x):
-        return (x - 2) * (x - 3) ** 2 / 24 * (-54 + 50 * x - 11 * x ** 2)
-
     window = np.arange(-3, 4)
     x = np.abs(dx - window)
-    result = np.piecewise(
-        x, [x <= 1, (x > 1) & (x <= 2), (x > 2) & (x <= 3)], [inner, middle, outer]
-    )
+    # the three quintic segments, factored as (quadratic) x (cubic prefactor)
+    near = ((-55 * x + 138) * x - 95) * (x ** 3 / 12) + 1
+    mid = (((55 * x - 249) * x + 348) * x - 138) * ((x - 1) * (x - 2) / 24)
+    far = ((-11 * x + 50) * x - 54) * ((x - 2) * (x - 3) ** 2 / 24)
+    result = np.select([x <= 1, x <= 2, x <= 3], [near, mid, far],
+                       default=0.0)
     return result, window
 
 
 def get_separable_kernel(dy, dx, kernel=lanczos, **kwargs):
     """Outer product of two 1D kernels. Ref: interpolation.py:312-338."""
-    kx, x_window = kernel(dx, **kwargs)
     ky, y_window = kernel(dy, **kwargs)
-    kyx = np.outer(ky, kx)
-    return kyx, y_window, x_window
+    kx, x_window = kernel(dx, **kwargs)
+    return np.multiply.outer(ky, kx), y_window, x_window
 
 
 # ---------------------------------------------------------------------------
@@ -241,25 +223,24 @@ def get_pixel_size(model_affine):
     return np.sqrt(np.abs(np.linalg.det(model_affine[:2, :2])))
 
 
+def _grid_direction(wcs):
+    """Unit column-sum vector of a WCS affine (the grid's orientation
+    proxy used by the reference) and the grid's pixel scale."""
+    affine = np.asarray(get_affine(wcs))
+    vec = affine.sum(axis=0)[:2]
+    return vec / np.hypot(vec[0], vec[1]), get_pixel_size(affine)
+
+
 def get_angles(frame_wcs, model_wcs):
     """([cos, sin], pixel-ratio) rotation between two WCS grids.
 
     Ref: interpolation.py:397-424.
     """
-    model_affine = get_affine(model_wcs)
-    frame_affine = get_affine(frame_wcs)
-    model_pix = get_pixel_size(model_affine)
-    frame_pix = get_pixel_size(frame_affine)
-    h = frame_pix / model_pix
-    self_framevector = np.sum(frame_affine, axis=0)[:2] / frame_pix
-    model_framevector = np.sum(model_affine, axis=0)[:2] / model_pix
-    self_framevector /= np.sum(self_framevector ** 2) ** 0.5
-    model_framevector /= np.sum(model_framevector ** 2) ** 0.5
-    # 2D cross product (np.cross on 2-vectors is removed in numpy >= 2.0)
-    sin_rot = (self_framevector[0] * model_framevector[1]
-               - self_framevector[1] * model_framevector[0])
-    cos_rot = np.dot(self_framevector, model_framevector)
-    return [cos_rot, sin_rot], h
+    u, frame_pix = _grid_direction(frame_wcs)
+    v, model_pix = _grid_direction(model_wcs)
+    # cos from the dot product, sin from the 2D cross product (np.cross on
+    # 2-vectors is removed in numpy >= 2.0)
+    return [u @ v, u[0] * v[1] - u[1] * v[0]], frame_pix / model_pix
 
 
 # ---------------------------------------------------------------------------
@@ -357,22 +338,17 @@ def get_common_padding(img1, img2, padding=None):
 
     Ref: interpolation.py:602-638.
     """
-    h1, w1 = img1.shape[-2:]
-    h2, w2 = img2.shape[-2:]
-    height = h1 + h2
-    width = w1 + w2
-    if padding is not None:
-        height += padding
-        width += padding
+    extra = padding or 0
+    target = (img1.shape[-2] + img2.shape[-2] + extra,
+              img1.shape[-1] + img2.shape[-1] + extra)
 
-    def get_padding(h, w):
-        bottom = (height - h) // 2
-        top = height - h - bottom
-        left = (width - w) // 2
-        right = width - w - left
-        return ((bottom, top), (left, right))
+    def center_pad(shape):
+        # split the deficit per axis, remainder on the high side
+        pads = [(d // 2, d - d // 2)
+                for d in (target[0] - shape[-2], target[1] - shape[-1])]
+        return tuple(pads)
 
-    return get_padding(h1, w1), get_padding(h2, w2)
+    return center_pad(img1.shape), center_pad(img2.shape)
 
 
 def subsample_function(y, x, f, dNy, dNx=None, dy=None, dx=None):
@@ -388,9 +364,15 @@ def subsample_function(y, x, f, dNy, dNx=None, dy=None, dx=None):
         dNx = dNy
     assert dNy % 2 == 0, f"dNy must be even, received {dNy}"
     assert dNx % 2 == 0, f"dNx must be even, received {dNx}"
-    _x = np.linspace(x[0] - dx / 2, x[-1] + dx / 2, len(x) * dNx + 1)
-    _y = np.linspace(y[0] - dy / 2, y[-1] + dy / 2, len(y) * dNy + 1)
-    return f(_y, _x), _y, _x
+
+    def fine_axis(coords, step, n_sub):
+        # n_sub samples per pixel spanning each pixel's full [c-h/2, c+h/2]
+        return np.linspace(coords[0] - step / 2, coords[-1] + step / 2,
+                           len(coords) * n_sub + 1)
+
+    fy = fine_axis(y, dy, dNy)
+    fx = fine_axis(x, dx, dNx)
+    return f(fy, fx), fy, fx
 
 
 def apply_2D_trapezoid_rule(y, x, f, dNy, dNx=None, dy=None, dx=None):
@@ -405,17 +387,13 @@ def apply_2D_trapezoid_rule(y, x, f, dNy, dNx=None, dy=None, dx=None):
         dx = x[1] - x[0]
     if dNx is None:
         dNx = dNy
-    z, _y, _x = subsample_function(y, x, f, dNy, dNx, dy, dx)
-
-    z = np.asarray(z)
-    dz = 0.4 * (z[:-1, :-1] + z[1:, :-1] + z[:-1, 1:] + z[1:, 1:])
-    volumes = dy * dx * dz / dNy / dNx
-    _dNy = len(_y) // dNy
-    _dNx = len(_x) // dNx
-    volumes = np.array(
-        np.split(np.array(np.split(volumes, _dNx, axis=1)), _dNy, axis=1)
-    ).sum(axis=(2, 3))
-    return volumes
+    z = np.asarray(subsample_function(y, x, f, dNy, dNx, dy, dx)[0])
+    # per-cell trapezoid volumes (the reference's 0.4 corner weight is kept
+    # for parity — an exact trapezoid rule would use 0.25), then a blocked
+    # reshape sums the dNy x dNx cells of each pixel
+    cells = 0.4 * (z[:-1, :-1] + z[1:, :-1] + z[:-1, 1:] + z[1:, 1:])
+    cells *= dy * dx / (dNy * dNx)
+    return cells.reshape(len(y), dNy, len(x), dNx).sum(axis=(1, 3))
 
 
 def get_psf_size(psf):
