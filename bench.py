@@ -260,11 +260,14 @@ def main():
     def run_het():
         # compact=50: convergence compaction — most generated blends
         # converge by ~30 iterations; only the stragglers (gathered into
-        # one small residual batch) pay the cap tail (+23% measured)
+        # one small residual batch) pay the cap tail (+23% measured).
+        # retry_overflow: blends whose init wants more components than
+        # n_slots re-fit at a larger slot count (no sources dropped)
         return parallel.deblend_device_stream(
             het_images, het_var, het_psfs, het_centers, model_psf,
             center_active=het_active, box_size=59, n_slots=HET_SLOTS,
-            max_iter=MAX_ITER, check_every=25, chunk=128, compact=50)
+            max_iter=MAX_ITER, check_every=25, chunk=128, compact=50,
+            retry_overflow=True)
 
     run_het()
     _stamp(t00, "heterogeneous warmup done")
@@ -281,7 +284,8 @@ def main():
         return parallel.deblend_device_stream(
             het_dev[0], het_dev[1], het_dev[2], het_centers, model_psf,
             center_active=het_active, box_size=59, n_slots=HET_SLOTS,
-            max_iter=MAX_ITER, check_every=25, chunk=128, compact=50)
+            max_iter=MAX_ITER, check_every=25, chunk=128, compact=50,
+            retry_overflow=True)
 
     _, het_dev_s, het_dev_times = _median_timed(run_het_dev)
     _stamp(t00, "heterogeneous device-resident: "
@@ -289,10 +293,18 @@ def main():
     del het_dev
 
     aux_list = haux if isinstance(haux, list) else [haux]
-    n_active = np.concatenate([np.asarray(a["n_active"]) for a in aux_list])
-    overflow = np.concatenate([np.asarray(a["overflow"]) for a in aux_list])
+    # the overflow-retry pass appends one aux entry indexed by
+    # retry_indices (with padding rows); the stream-order stats come from
+    # the main-pass entries only
+    main_aux = [a for a in aux_list if "retry_indices" not in a]
+    n_active = np.concatenate([np.asarray(a["n_active"]) for a in main_aux])
+    overflow = np.concatenate([np.asarray(a["overflow"]) for a in main_aux])
     n_active = n_active.reshape(-1)
     overflow = overflow.reshape(-1)
+    # effective = sources actually dropped after the retry lane
+    eff_overflow = float(np.mean([bool(r.get("overflow"))
+                                  and not r.get("overflow_retried")
+                                  for r in hrecords]))
     het_result = {
         "blends_per_min": round(het_bpm, 1),
         "n_distinct_blends": N_HET,
@@ -301,6 +313,7 @@ def main():
         "spread_s": [round(x, 3) for x in sorted(het_times)],
         "mean_components": round(float(n_active.mean()), 2),
         "slot_overflow_rate": round(float(overflow.mean()), 4),
+        "effective_overflow_rate": round(eff_overflow, 4),
         "padding_waste": round(
             1.0 - float(np.minimum(n_active, HET_SLOTS).mean()) / HET_SLOTS,
             4),

@@ -39,6 +39,25 @@ __all__ = [
 ]
 
 
+def _ratio_sed(num, den):
+    """Peak-ratio SED ``images/convolved`` with unusable bands seeding 0.
+
+    The reference divides blindly and clips negatives (ref
+    lite/initialization.py:242-243, 505-506, 518-519); a zero, negative,
+    or non-finite denominator — the sparse wavelet detection dictionary
+    convolved with a difference kernel's negative rings can be <= 0 at a
+    real peak — would make that band's SED inf/NaN and poison the whole
+    fit.  Those bands carry no usable ratio, so they seed 0 (the fit's
+    own gradient recovers them).  Bit-identical to the reference wherever
+    the denominator is positive and finite.
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = num / den
+    sed = np.where((den > 0) & np.isfinite(ratio), ratio, 0.0)
+    sed[sed < 0] = 0
+    return sed.astype(num.dtype, copy=False)
+
+
 def get_min_psf(psfs, thresh=0.01):
     """Minimal centered cutout containing all cross-band PSF differences
     above ``thresh``.  Ref: lite/initialization.py:19-80.
@@ -169,8 +188,7 @@ def init_main_parameters(detect, center, observation, convolved=None,
             observation, np.repeat(_morph[None, :, :], images.shape[0],
                                    axis=0))
     convolved = np.asarray(convolved)
-    sed = images[sed_center] / convolved[sed_center]
-    sed[sed < 0] = 0
+    sed = _ratio_sed(images[sed_center], convolved[sed_center])
     morph_max = np.max(morph)
     sed = sed * morph_max
     morph = morph / morph_max
@@ -244,8 +262,7 @@ def init_all_sources_main(observation, centers, detect=None, min_snr=50,
 
         if morph is None:
             sed_center = (slice(None), center[0], center[1])
-            sed = images[sed_center] / psf_sed
-            sed[sed < 0] = 0
+            sed = _ratio_sed(images[sed_center], psf_sed)
             morph = model_psf / np.max(model_psf)
             bbox = Box(model_psf.shape, origin=(center[0] - py, center[1] - px))
             components = [LiteComponent(center, observation.bbox[0] @ bbox,
@@ -336,8 +353,7 @@ def init_wavelet_source(center, nbr_components, init):
 
     if (nbr_components < 1 and init.use_psf) or \
             init.detectlets[center[0], center[1]] <= 0:
-        sed = init.images[sed_center] / init.psf_sed
-        sed[sed < 0] = 0
+        sed = _ratio_sed(init.images[sed_center], init.psf_sed)
         morph = model_psf / np.max(model_psf)
         bbox = Box(model_psf.shape,
                    origin=(center[0] - init.py, center[1] - init.px))
@@ -349,8 +365,8 @@ def init_wavelet_source(center, nbr_components, init):
             init.detectlets, center, observation.bbox[1:], init.disk_grow)
         if morph is None or np.max(morph) <= 0:
             return LiteSource([], observation.dtype)
-        sed = init.images[sed_center] / init.convolved[sed_center]
-        sed[sed < 0] = 0
+        sed = _ratio_sed(init.images[sed_center],
+                         init.convolved[sed_center])
         morph = morph / np.max(morph)
         component = LiteComponent(center, observation.bbox[0] @ bbox, sed, morph)
         return LiteSource([component], observation.dtype)

@@ -158,6 +158,16 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
     tiny = jnp.asarray(1e-20, dtype)
     wavelets_mode = recipe == "wavelets"
 
+    def ratio_sed(num, den):
+        # peak-ratio SED with unusable bands seeding 0: a zero/negative/
+        # non-finite denominator (sparse wavelet dictionaries convolved
+        # with a difference kernel's negative rings) would seed inf/NaN
+        # and poison the fit.  Same guard as the host path
+        # (lite.initialization._ratio_sed); bit-identical to the
+        # reference's blind divide wherever the denominator is healthy.
+        r = jnp.maximum(num / den, 0.0)
+        return jnp.where((den > 0) & jnp.isfinite(r), r, 0.0)
+
     # --- observation-level quantities -------------------------------------
     # scene_valid masks caller padding (heterogeneous crops packed to one
     # (H, W)); all-ones reproduces the host path bitwise
@@ -251,7 +261,9 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
         lam = 1e-6 * jnp.maximum(g11, g22) + tiny
         g11 = g11 + lam
         g22 = g22 + lam
-        det = g11 * g22 - g12 * g12
+        # all-zero morphs (null wavelet slots): tiny^2 underflows to 0 in
+        # f32 and 0/0 would NaN — clamp; the numerators are 0 there too
+        det = jnp.maximum(g11 * g22 - g12 * g12, tiny)
         sb = (g22 * b1 - g12 * b2) / det
         sd = (g11 * b2 - g12 * b1) / det
         return jnp.maximum(sb, 0.0), jnp.maximum(sd, 0.0)
@@ -307,8 +319,8 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
             null = null_both | (single & no1)
 
             img_pk = images[:, cy, cx]
-            sed1 = jnp.maximum(img_pk / convolved[:, cy, cx], 0.0)
-            sed_fb = jnp.maximum(img_pk / psf_sed, 0.0)
+            sed1 = ratio_sed(img_pk, convolved[:, cy, cx])
+            sed_fb = ratio_sed(img_pk, psf_sed)
             return (morph1, sed1, sed_fb, bm1, morphB, bmB, morphD, bmD,
                     split, psf_gate, null, snr)
 
@@ -399,12 +411,11 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
 
             # peak SED from the image/convolved-detection ratio
             img_pk = images[:, cy, cx]
-            sed = jnp.maximum(img_pk / convolved[:, cy, cx],
-                              0.0) * morph_max
+            sed = ratio_sed(img_pk, convolved[:, cy, cx]) * morph_max
             morph = m / jnp.maximum(morph_max, tiny)
 
             # PSF fallback
-            sed_fb = jnp.maximum(img_pk / psf_sed, 0.0)
+            sed_fb = ratio_sed(img_pk, psf_sed)
             morph = jnp.where(fallback, psf_morph, morph)
             sed = jnp.where(fallback, sed_fb, sed)
             box_mask = jnp.where(fallback, psf_box_mask, box_mask)
@@ -446,8 +457,12 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
     source2 = jnp.stack([jnp.arange(K), jnp.arange(K)], 1).reshape(2 * K)
 
     order = jnp.argsort(~active2, stable=True)[:n_slots]
-    seds_s = seds2[order]
-    morphs_s = morphs2[order] * active2[order, None, None]
+    # zero INACTIVE slots' seds as well as morphs, with where (NOT a
+    # multiply: NaN*0=NaN) — a non-finite value in a null slot would
+    # otherwise ride into the scene assembly
+    on_s = active2[order]
+    seds_s = jnp.where(on_s[:, None], seds2[order], 0.0)
+    morphs_s = jnp.where(on_s[:, None, None], morphs2[order], 0.0)
     bmask_s = bmask2[order]
     origins_s = origins2[order]
     active_s = active2[order]
@@ -842,6 +857,7 @@ def stream_records(state, losses, aux, data=None, config=None,
     # which exceeds this when a blend overflows n_slots)
     n_act = np.asarray(state.comp_active[0]).sum(axis=1)
     snr_init = np.asarray(aux["snr"])
+    overflowed = np.asarray(aux["overflow"]).reshape(-1)
     losses = np.asarray(losses)
     records = []
     for b in range(per_source.shape[0]):
@@ -850,6 +866,9 @@ def stream_records(state, losses, aux, data=None, config=None,
             "logL": float(last[b]),
             "init logL": float(losses[0, b]) if losses.size else float("nan"),
             "n_components": int(n_act[b]),
+            # init wanted more components than the slot layout holds
+            # (sources dropped unless the overflow-retry lane re-fit it)
+            "overflow": bool(overflowed[b]),
             "flux": per_source[b],
             "centroid": centroids[b],
             # flux-normalized central 2nd moments (sigma_yy, sigma_xx,
@@ -871,6 +890,7 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
                           min_snr=50, e_rel=1e-4, reweight=False,
                           chunk=None, compact=None, upload_dtype=None,
                           redetect=0, redetect_radius=3.0,
+                          retry_overflow=False,
                           **kw):
     """One-call production path: device init + device fit + records.
 
@@ -933,6 +953,18 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     keeps the full completeness gain without it).  Works with an
     explicit catalog or ``centers=None``.
 
+    ``retry_overflow=True`` closes the slot-overflow source drops: blends
+    whose init wanted more components than ``n_slots`` (``aux["overflow"]``
+    — the reference's init keeps EVERY detected peak, degrading only on
+    failure, ref initialization.py:287-363) are re-initialized and refit
+    as one small padded batch at a larger slot count (quantized in steps
+    of 4 so retries reuse a handful of compiled programs).  Their records
+    are replaced in place (flagged ``overflow_retried``) and the retry
+    pass's state/losses/aux append as one extra chunk entry whose aux
+    carries ``retry_indices`` (positions in the stream order) — so when
+    any blend overflowed, state/losses/aux are per-chunk lists even for
+    an unchunked call.
+
     Returns (records, state, losses, aux); with ``chunk`` set (and no
     ``compact``), state/losses/aux are per-chunk lists; with ``compact``
     they are merged across chunks."""
@@ -947,6 +979,7 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
             min_snr=min_snr, e_rel=e_rel, reweight=reweight, chunk=chunk,
             compact=compact, upload_dtype=upload_dtype,
             redetect=int(redetect), redetect_radius=float(redetect_radius),
+            retry_overflow=retry_overflow,
             **kw)
 
     qdtype = None if upload_dtype is None else jnp.dtype(upload_dtype)
@@ -1003,20 +1036,101 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
         handles.append((handle, data, config, aux))
 
     if points and phase1 < max_iter:
-        return _collect_compacted(handles, points, max_iter, check_every,
-                                  reweight)
+        result = _collect_compacted(handles, points, max_iter, check_every,
+                                    reweight)
+    else:
+        records, outs, losses_l, auxs = [], [], [], []
+        for handle, data, config, aux in handles:
+            out, losses = fit_batch_device_collect(handle, max_iter)
+            records.extend(stream_records(out, losses, aux, data=data,
+                                          config=config, reweight=reweight))
+            outs.append(out)
+            losses_l.append(losses)
+            auxs.append(aux)
+        if len(spans) == 1:
+            result = records, outs[0], losses_l[0], auxs[0]
+        else:
+            result = records, outs, losses_l, auxs
 
-    records, outs, losses_l, auxs = [], [], [], []
-    for handle, data, config, aux in handles:
-        out, losses = fit_batch_device_collect(handle, max_iter)
-        records.extend(stream_records(out, losses, aux, data=data,
-                                      config=config, reweight=reweight))
-        outs.append(out)
-        losses_l.append(losses)
-        auxs.append(aux)
-    if len(spans) == 1:
-        return records, outs[0], losses_l[0], auxs[0]
-    return records, outs, losses_l, auxs
+    if retry_overflow:
+        result = _retry_overflow(
+            result, images, variance, psfs, centers, model_psf, weights,
+            center_active, scene_valid, box_size=box_size,
+            n_slots=n_slots, max_iter=max_iter, check_every=check_every,
+            min_snr=min_snr, e_rel=e_rel, reweight=reweight, kw=kw)
+    return result
+
+
+def _retry_overflow(result, images, variance, psfs, centers, model_psf,
+                    weights, center_active, scene_valid, *, box_size,
+                    n_slots, max_iter, check_every, min_snr, e_rel,
+                    reweight, kw):
+    """Re-run the slot-overflowed blends at a larger slot count.
+
+    The reference's init never drops a detected peak (degrading K only on
+    per-source failure, ref initialization.py:287-363, 481-488); a fixed
+    ``n_slots`` layout does, silently, for the ``aux["overflow"]`` blends.
+    This lane re-initializes and refits exactly that subset — padded to a
+    16-row bucket with all-inactive catalog rows (they converge in ~2
+    iterations) and at a slot count quantized upward in steps of 4, so
+    the retries of a whole survey stream reuse a handful of compiled
+    programs — and splices the records back in stream order.
+    """
+    records, state, losses, aux = result
+    auxs = aux if isinstance(aux, list) else [aux]
+    n_active = np.concatenate(
+        [np.asarray(a["n_active"]).reshape(-1) for a in auxs])
+    overflow = np.concatenate(
+        [np.asarray(a["overflow"]).reshape(-1) for a in auxs])
+    idx = np.nonzero(overflow)[0]
+    if idx.size == 0:
+        return result
+
+    # slots needed to hold every desired component, in steps of 4
+    need = int(n_active[idx].max())
+    n_slots2 = n_slots + -(-(need - n_slots) // 4) * 4
+    # the subset's catalog: the device-detected one when detection ran
+    if centers is None:
+        cat = np.concatenate([np.asarray(a["centers"]) for a in auxs])
+        act = np.concatenate([np.asarray(a["center_active"])
+                              for a in auxs])
+        sub_c, sub_a = cat[idx], act[idx]
+    else:
+        sub_c = np.asarray(centers)[idx]
+        sub_a = (np.ones(sub_c.shape[:2], bool) if center_active is None
+                 else np.asarray(center_active)[idx])
+
+    # pad to a 16-row bucket by repeating row 0 with NO active catalog
+    # rows: padded blends initialize empty and converge immediately
+    n_pad = -(-idx.size // 16) * 16
+    idx_pad = np.concatenate(
+        [idx, np.full(n_pad - idx.size, idx[0], idx.dtype)])
+    sub_c = np.concatenate(
+        [sub_c, np.repeat(sub_c[:1], n_pad - idx.size, axis=0)])
+    sub_a = np.concatenate(
+        [sub_a, np.zeros((n_pad - idx.size,) + sub_a.shape[1:], bool)])
+
+    take = lambda x: None if x is None else x[idx_pad]  # noqa: E731
+    sub_records, sub_state, sub_losses, sub_aux = deblend_device_stream(
+        take(images), take(variance), take(psfs), sub_c, model_psf,
+        weights=take(weights), center_active=sub_a,
+        scene_valid=take(scene_valid), box_size=box_size,
+        n_slots=n_slots2, max_iter=max_iter, check_every=check_every,
+        min_snr=min_snr, e_rel=e_rel, reweight=reweight, **kw)
+
+    for pos, rec in zip(idx, sub_records):
+        # "overflow" keeps meaning "overflowed the configured n_slots";
+        # the retry itself ran at a layout that holds every component
+        rec["overflow"] = True
+        rec["overflow_retried"] = True
+        records[pos] = rec
+
+    sub_aux = dict(sub_aux, retry_indices=idx, retry_n_slots=n_slots2,
+                   centers=sub_c, center_active=sub_a)
+    states = state if isinstance(state, list) else [state]
+    losses_l = losses if isinstance(losses, list) else [losses]
+    return (records, states + [sub_state], losses_l + [sub_losses],
+            auxs + [sub_aux])
 
 
 def _union_catalogs(centers, active, det_c, det_a, radius, cap):
@@ -1055,7 +1169,7 @@ def _deblend_redetect(images, variance, psfs, centers, model_psf,
                       weights, center_active, scene_valid, *, box_size,
                       n_slots, max_iter, check_every, min_snr, e_rel,
                       reweight, chunk, compact, upload_dtype, redetect,
-                      redetect_radius, **kw):
+                      redetect_radius, retry_overflow=False, **kw):
     """detect -> fit -> detect-on-residuals -> refit orchestration for
     ``deblend_device_stream(redetect=N)``."""
     from .detection import detect_peaks_device
@@ -1093,7 +1207,9 @@ def _deblend_redetect(images, variance, psfs, centers, model_psf,
             box_size=box_size, n_slots=n_slots, max_iter=max_iter,
             check_every=check_every, min_snr=min_snr, e_rel=e_rel,
             reweight=reweight, chunk=chunk, compact=compact,
-            upload_dtype=upload_dtype, **kw)
+            upload_dtype=upload_dtype,
+            # the overflow retry applies once, on the final catalog
+            retry_overflow=retry_overflow and pass_i == redetect, **kw)
         if pass_i == redetect:
             if cur_c is None:
                 return out
@@ -1106,6 +1222,13 @@ def _deblend_redetect(images, variance, psfs, centers, model_psf,
             if isinstance(aux, list):
                 o, new_aux = 0, []
                 for a in aux:
+                    if "retry_indices" in a:
+                        # the overflow-retry entry indexes into the stream
+                        # order (its rows beyond the indices are padding)
+                        ri = np.asarray(a["retry_indices"])
+                        new_aux.append(dict(a, centers=cur_c[ri],
+                                            center_active=cur_a[ri]))
+                        continue
                     n = np.asarray(a["n_active"]).shape[0]
                     new_aux.append(dict(a, centers=cur_c[o:o + n],
                                         center_active=cur_a[o:o + n]))

@@ -34,7 +34,9 @@ _BUNDLED = {
     2: ["psf_matched_sim.npz"],
     3: ["psf_unmatched_sim.npz"],
 }
-_GENERATED = {4: 50, 5: 14, 6: 100, 7: 25}   # 7: very crowded (beyond ref)
+_GENERATED = {4: 50, 5: 14, 6: 100, 7: 25,   # 7: very crowded (beyond ref)
+              8: 50}   # 8: Spergel profiles + elliptical PSFs +
+#                           correlated noise (realism, blendsets.py)
 
 
 def bundled_blends(set_id, root=None):

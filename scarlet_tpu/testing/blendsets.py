@@ -23,10 +23,34 @@ from .store import default_root
 __all__ = ["generate_blend", "generate_blend_set"]
 
 
-def _gaussian_psf(sigma, size=21):
+def _gaussian_psf(sigma, size=21, e=0.0, angle=0.0):
+    """Gaussian PSF, optionally elliptical: axis ratio ``1-e`` at
+    position angle ``angle`` (real per-band seeing is anisotropic —
+    the curated HSC sets' PSFs are; the reference's simulated
+    psf_matched_sim.npz uses round Gaussians)."""
     yy, xx = np.mgrid[:size, :size] - (size - 1) / 2.0
-    p = np.exp(-(yy ** 2 + xx ** 2) / (2 * sigma ** 2))
+    c, s = np.cos(angle), np.sin(angle)
+    u = c * xx + s * yy
+    v = -s * xx + c * yy
+    q = max(1.0 - e, 0.3)
+    p = np.exp(-(u ** 2 / q + v ** 2 * q) / (2 * sigma ** 2))
     return (p / p.sum()).astype(np.float32)
+
+
+def _spergel_nu(r, nu):
+    """Unit-peak Spergel (2010) radial profile ``(r)^nu K_nu(r)`` in
+    scaled radius; nu in [-0.85, 4] spans the Sersic n ~ 4 .. 0.5 range
+    (nu=0.5 is exactly exponential).  Truth rendering uses scipy's kv —
+    deliberately independent of the fit-side SpergelMorphology (which
+    anchors its own Gauss-Legendre kv against scipy in
+    tests/test_special.py)."""
+    from scipy.special import kv, gamma
+
+    r = np.maximum(r, 1e-8)
+    f = r ** nu * kv(nu, r)
+    # finite central value: lim_{r->0} r^nu K_nu(r) = gamma(nu) 2^(nu-1)
+    peak = gamma(nu) * 2 ** (nu - 1) if nu > 0 else f.max()
+    return (f / peak).astype(np.float32)
 
 
 def _profile(kind, radius, q, angle, size):
@@ -42,13 +66,33 @@ def _profile(kind, radius, q, angle, size):
 
 
 def generate_blend(rng, shape=(5, 58, 48), n_sources=None, min_sep=5.0,
-                   noise_sigma=0.1):
+                   noise_sigma=0.1, spergel_frac=0.0, psf_ellip=0.0,
+                   noise_corr=0.0):
     """One synthetic blend dict: images/variance/psfs/filters/catalog with
-    full-scene truth-intensity images per source."""
+    full-scene truth-intensity images per source.
+
+    Realism knobs (set 8; the curated HSC-COSMOS material the reference
+    hosts on AWS has all three, docs/regression.rst:4-12):
+
+    * ``spergel_frac``: fraction of galaxies drawn with Spergel(2010)
+      profiles (nu in [-0.6, 1.5] ~ Sersic n 4 .. 0.5) instead of
+      Gaussian/exponential;
+    * ``psf_ellip``: per-band PSF ellipticity drawn in [0, psf_ellip]
+      at a random angle;
+    * ``noise_corr``: Gaussian correlation length (px) of the pixel
+      noise (coadd resampling correlates real survey noise; the
+      variance plane still records the MARGINAL per-pixel variance, so
+      the fit's independence assumption is stressed exactly like on
+      real coadds).
+    """
     C, H, W = shape
     filters = list(settings.filters)[:C]
     sigmas = rng.uniform(1.1, 2.1, size=C).astype(np.float32)
-    psfs = np.stack([_gaussian_psf(s, 21) for s in sigmas])
+    ells = (rng.uniform(0.0, psf_ellip, size=C) if psf_ellip > 0
+            else np.zeros(C))
+    pangs = rng.uniform(0, np.pi, size=C)
+    psfs = np.stack([_gaussian_psf(s, 21, e, a)
+                     for s, e, a in zip(sigmas, ells, pangs)])
 
     if n_sources is None:
         n_sources = int(rng.integers(3, 11))
@@ -87,9 +131,20 @@ def generate_blend(rng, shape=(5, 58, 48), n_sources=None, min_sep=5.0,
             radius = float(rng.uniform(1.0, 4.0))
             q = float(rng.uniform(0.4, 1.0))
             angle = float(rng.uniform(0, np.pi))
+            spergel = rng.random() < spergel_frac
             kind = "exp" if rng.random() < 0.6 else "gauss"
             size = min(2 * int(4 * radius) + 21, 2 * min(H, W) - 1)
-            prof = _profile(kind, radius, q, angle, size).astype(np.float32)
+            if spergel:
+                nu = float(rng.uniform(-0.6, 1.5))
+                yy, xx = np.mgrid[:size, :size] - (size - 1) / 2.0
+                c, s = np.cos(angle), np.sin(angle)
+                u = (c * xx + s * yy) / max(q, 0.2)
+                v = -s * xx + c * yy
+                r = np.sqrt(u ** 2 + v ** 2) / max(radius, 0.3)
+                prof = _spergel_nu(r, nu)
+            else:
+                prof = _profile(kind, radius, q, angle,
+                                size).astype(np.float32)
             img = np.zeros((H, W), np.float32)
             iy, ix = int(round(y)), int(round(x))
             h = size // 2
@@ -117,8 +172,15 @@ def generate_blend(rng, shape=(5, 58, 48), n_sources=None, min_sep=5.0,
     ]).astype(np.float32)
     sigma_b = (noise_sigma * (1.0 + rng.uniform(-0.3, 0.3, size=C))
                ).astype(np.float32)
-    images += rng.standard_normal(images.shape).astype(np.float32) * \
-        sigma_b[:, None, None]
+    noise = rng.standard_normal(images.shape).astype(np.float32)
+    if noise_corr > 0:
+        # correlate, then rescale so sigma_b stays the MARGINAL per-pixel
+        # std (the quantity the variance plane records on real coadds)
+        k = _gaussian_psf(noise_corr, 2 * int(3 * noise_corr) + 1)
+        noise = np.stack([fftconvolve(n, k, mode="same") for n in noise])
+        noise /= np.sqrt(np.sum(k.astype(np.float64) ** 2)).astype(
+            np.float32)
+    images += noise * sigma_b[:, None, None]
     variance = np.broadcast_to((sigma_b ** 2)[:, None, None],
                                images.shape).copy()
 
@@ -143,6 +205,12 @@ _SET_PARAMS = {
     # (8-16 sources at 3 px separation) stressing detection completeness
     # and slot-packed deblending
     7: {"n_range": (8, 17), "min_sep": 3.0, "noise_sigma": 0.12},
+    # set 8 hardens the realism toward the curated HSC-COSMOS material:
+    # Spergel profiles (Sersic n ~ 0.5-4 range), per-band PSF
+    # ellipticity, and correlated pixel noise (variance plane stays
+    # marginal, like real coadds)
+    8: {"n_range": (3, 9), "spergel_frac": 0.7, "psf_ellip": 0.25,
+        "noise_corr": 0.8, "noise_sigma": 0.1},
 }
 
 

@@ -291,6 +291,46 @@ class TestStreamInit:
                 assert np.all(np.isnan(cen[s])), (s, cen[s])
                 assert np.all(np.isnan(mom[s])), (s, mom[s])
 
+    def test_overflow_retry_keeps_every_peak(self, hsc):
+        """retry_overflow=True: blends whose init wants more components
+        than n_slots re-fit at a larger slot count — no active detected
+        peak is dropped (the reference keeps every peak, ref
+        initialization.py:287-363)."""
+        K = len(hsc["centers"])
+        recs, state, losses, aux = stream.deblend_device_stream(
+            hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
+            np.asarray(hsc["centers"])[None], hsc["model_psf"],
+            box_size=59, n_slots=4, max_iter=6, check_every=6,
+            retry_overflow=True)
+        # the retry pass appends one chunk entry carrying its indices
+        assert isinstance(aux, list) and len(aux) == 2
+        assert np.asarray(aux[1]["retry_indices"]).tolist() == [0]
+        assert aux[1]["retry_n_slots"] >= int(
+            np.asarray(aux[0]["n_active"])[0])
+        rec = recs[0]
+        assert rec["overflow"] and rec["overflow_retried"]
+        # every catalog source ends with at least one slot: finite
+        # centroid and nonzero flux row for all K sources
+        assert np.all(np.isfinite(rec["centroid"])), rec["centroid"]
+        assert rec["flux"].shape[0] == K
+        slotted = np.unique(np.asarray(aux[1]["slot_source"][0])[
+            np.asarray(state[1].comp_active[0][0])])
+        assert set(range(K)) <= set(slotted.tolist())
+        # padded retry rows (16-row bucket) carry no active slots
+        assert not np.any(np.asarray(state[1].comp_active[0][1:]))
+
+    def test_overflow_retry_noop_when_no_overflow(self, hsc):
+        """With enough slots the retry lane is a no-op: unchanged return
+        contract (no extra chunk entry), no record flags."""
+        recs, state, losses, aux = stream.deblend_device_stream(
+            hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
+            np.asarray(hsc["centers"])[None], hsc["model_psf"],
+            box_size=59, n_slots=10, max_iter=6, check_every=6,
+            retry_overflow=True)
+        assert not isinstance(aux, list)
+        assert not recs[0]["overflow"]
+        assert "overflow_retried" not in recs[0]
+
     def test_stream_sharded_over_mesh(self, hsc):
         """Blends-axis GSPMD sharding propagates through the device init
         AND the fit: 8 blends sharded over the virtual 8-device mesh match

@@ -17,6 +17,9 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 import jax
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/scarlet_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from scarlet_tpu import parallel
 import bench
 
