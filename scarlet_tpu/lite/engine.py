@@ -93,6 +93,12 @@ class LiteFitConfig:
     min_iter: int = 1
     fit_center_radius: int = 1
     min_gradient: float = 0.0
+    # opt-in tolerance early-exit for the Pallas monotonicity kernel:
+    # 0.0 (default) = the exact bitwise fixed point of the reference's
+    # depth-N Jacobi DAG; > 0 exits once a 4-pass block moves no pixel
+    # by more than mono_tol (morphs are unit-peak).  NOT reference
+    # semantics — measure before use (BASELINE r4 A/B).
+    mono_tol: float = 0.0
     neighbor_weight: str = "angle"
     use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
     use_pallas_scene: bool = False  # VMEM scene assembly + grad gather (TPU)
@@ -460,7 +466,7 @@ def _prox_morph_bucket(morphs, seds, data, config, b):
         morphs = batched_monotonic_prox(
             morphs, idx, data.mono_weights[b], data.mono_keep[b],
             n_iter, config.min_gradient,
-            interpret=config.pallas_interpret)
+            interpret=config.pallas_interpret, tol=config.mono_tol)
     else:
         w = data.mono_weights[b][idx]       # (Kb, 8, hb, wb)
         keep = data.mono_keep[b][idx] > 0.5
@@ -522,7 +528,8 @@ def _prox_morph_bucket_packed(packed, seds, data, config, b):
 
     packed = monotonic_prox_packed(
         packed, idx, data.mono_weights[b], data.mono_keep[b], wb, n_iter,
-        config.min_gradient, interpret=config.pallas_interpret)
+        config.min_gradient, interpret=config.pallas_interpret,
+        tol=config.mono_tol)
 
     view = packed.reshape(hb, K, wb)
     if config.bg_thresh is not None:

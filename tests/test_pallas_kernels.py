@@ -37,6 +37,35 @@ def test_batched_monotonic_matches_reference():
         assert_allclose(got[k], expected, rtol=1e-6, atol=1e-6)
 
 
+def test_monotonic_tol_early_exit_close_to_exact():
+    """tol > 0 (LiteFitConfig.mono_tol, opt-in) exits at max|delta| <= tol
+    per 4-pass block — the result must stay within a few*tol of the exact
+    fixed point, and tol=0 must stay bitwise-exact."""
+    rng = np.random.RandomState(3)
+    box = (21, 21)
+    K = 6
+    weights, keeps, n_iter = engine.monotonicity_tables(
+        box, fit_center_radius=1, neighbor_weight="angle")
+    morphs = rng.rand(K, *box).astype(np.float32)
+    idx = rng.randint(0, weights.shape[0], size=(K,)).astype(np.int32)
+
+    args = (jnp.asarray(morphs), jnp.asarray(idx),
+            jnp.asarray(weights.astype(np.float32)), jnp.asarray(keeps),
+            n_iter)
+    exact = np.asarray(batched_monotonic_prox(*args, interpret=True))
+    exact0 = np.asarray(batched_monotonic_prox(*args, interpret=True,
+                                               tol=0.0))
+    np.testing.assert_array_equal(exact, exact0)
+    loose = np.asarray(batched_monotonic_prox(*args, interpret=True,
+                                              tol=1e-3))
+    # each pass is a min with a convex neighbor average: the residual
+    # contracts per block, so the distance to the fixed point is of
+    # order the exit tolerance
+    assert np.max(np.abs(loose - exact)) < 5e-3
+    # and the relaxed result is still a valid "less constrained" morph
+    assert np.all(loose >= exact - 1e-6)
+
+
 def test_engine_pallas_interpret_matches_xla():
     """Whole fit step with use_pallas(+interpret) equals the XLA path."""
     import dataclasses

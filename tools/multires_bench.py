@@ -28,8 +28,13 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     N_ITER = 100
 
-    obs_hr, obs_lr, data_hr, data_lr = make_pair(rotation_lr=0.0)
-    frame = st.Frame.from_observations([obs_lr, obs_hr], obs_id=1)
+    # CPU-pin the object construction: the renderers precompute complex
+    # FFT tensors, and complex buffers cannot cross the axon tunnel (the
+    # jit would try to materialize them as constants at trace time)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        obs_hr, obs_lr, data_hr, data_lr = make_pair(rotation_lr=0.0)
+        frame = st.Frame.from_observations([obs_lr, obs_hr], obs_id=1)
     rng = np.random.default_rng(0)
     sc = (0.8 + 0.4 * rng.random(B).astype(np.float32))[:, None, None,
                                                         None]
@@ -45,9 +50,10 @@ def main():
                               float))
     centers = np.tile(np.asarray(pts)[None], (B, 1, 1))
 
-    fitter = MultiResFitter((obs_hr, obs_lr), box_size=31)
-    init = multires_init((obs_hr, obs_lr), (d_hr, d_lr), centers,
-                         box_size=31, n_slots=3)
+    with jax.default_device(cpu):
+        fitter = MultiResFitter((obs_hr, obs_lr), box_size=31)
+        init = multires_init((obs_hr, obs_lr), (d_hr, d_lr), centers,
+                             box_size=31, n_slots=3)
 
     def run():
         out = fitter.fit((d_hr, d_lr), (w_hr, w_lr), *init, n_iter=N_ITER)
