@@ -99,6 +99,18 @@ class LiteFitConfig:
     # by more than mono_tol (morphs are unit-peak).  NOT reference
     # semantics — measure before use (BASELINE r4 A/B).
     mono_tol: float = 0.0
+    # in-program logical box growth (the reference's edge-pull test, ref
+    # morphology.py:160-207, reformulated for static shapes): when the
+    # next Adam update would pull flux onto a component's logical box
+    # edge with mean magnitude > box_grow (0.1 in the reference, relative
+    # to unit-peak morphs), the box_mask grows to the next quantized size
+    # (half += 5) WITHIN the fixed physical bucket and that slot's
+    # morphology step halves (ref morphology.py:186) — no recompile, no
+    # host sync, moments stay (the reference's warm restart).  Requires
+    # state.box_half/step_scale (stream_setup initializes them) and
+    # data.box_masks.  None = off (static; default).
+    box_grow: Optional[float] = None
+    box_grow_step: int = 5        # half-size increment (10-px quantization)
     neighbor_weight: str = "angle"
     use_pallas: bool = False      # VMEM-resident monotonicity kernel (TPU)
     use_pallas_scene: bool = False  # VMEM scene assembly + grad gather (TPU)
@@ -171,6 +183,11 @@ class BlendState(NamedTuple):
     active: jnp.ndarray          # () bool — blend still iterating
     it: jnp.ndarray              # () int32 — iterations executed
     last_loss: jnp.ndarray       # () float — previous logL
+    # config.box_grow state (None when growth is off): per bucket
+    box_half: Optional[tuple] = None    # (Kb,) int32 — grown logical
+    # half-size; -1 = still at the init box (data.box_masks alone)
+    step_scale: Optional[tuple] = None  # (Kb,) float — morph step
+    # multiplier, halved on each growth (ref morphology.py:186)
 
 
 # ---------------------------------------------------------------------------
@@ -432,9 +449,97 @@ def render(state, data, config):
 
 
 # ---------------------------------------------------------------------------
+# In-program logical box growth (config.box_grow)
+# ---------------------------------------------------------------------------
+def _grow_enabled(config, state):
+    return (config.box_grow is not None and state.box_half is not None
+            and config.optimizer == "adaprox")
+
+
+def _base_half(base_mask, bc):
+    """Per-slot logical half-size of the INIT box mask: the largest
+    |offset| from the box center with mask support (K,) int32.
+    Loop-invariant in the scan (base_mask is BlendData)."""
+    K, hb, wb = base_mask.shape
+    on = base_mask > 0.5
+    dy = jnp.abs(jnp.arange(hb) - bc[0])
+    dx = jnp.abs(jnp.arange(wb) - bc[1])
+    ry = jnp.max(jnp.where(jnp.any(on, 2), dy[None], 0), axis=1)
+    rx = jnp.max(jnp.where(jnp.any(on, 1), dx[None], 0), axis=1)
+    return jnp.maximum(ry, rx).astype(jnp.int32)
+
+
+def _grown_mask_stack(base_mask, box_half, bc):
+    """Effective logical mask: the init mask grown to the centered square
+    of half-size ``box_half`` (-1 = no growth, init mask alone)."""
+    K, hb, wb = base_mask.shape
+    dy = jnp.abs(jnp.arange(hb) - bc[0])[None, :, None]
+    dx = jnp.abs(jnp.arange(wb) - bc[1])[None, None, :]
+    h = box_half[:, None, None]
+    inside = (dy <= h) & (dx <= h)
+    return jnp.maximum(base_mask, inside.astype(base_mask.dtype))
+
+
+def _grown_mask_packed(base_packed, box_half, bc, wb):
+    """:func:`_grown_mask_stack` on the lane-packed (hb, K*wb) layout."""
+    hb, gW = base_packed.shape
+    dy = jnp.abs(jnp.arange(hb) - bc[0])[:, None]
+    dx = jnp.abs(jnp.arange(gW) % wb - bc[1])[None, :]
+    h = jnp.repeat(box_half, wb)[None, :]
+    inside = (dy <= h) & (dx <= h)
+    return jnp.maximum(base_packed, inside.astype(base_packed.dtype))
+
+
+def _edge_pull_view(view, m_view, v_view, step_k, h_eff, bc):
+    """The reference's box-grow test (ref morphology.py:163-177) on the
+    (hb, K, wb) slot view: the magnitude of the NEXT Adam update
+    ``-m / v^(1/4) * step`` where the model has flux, averaged over each
+    of the 4 edges of the current logical box; returns the per-slot max
+    edge mean (K,).  Deviation from the reference: pixels with v == 0
+    contribute 0 to the mean instead of being excluded (their m is 0
+    too), which is conservative."""
+    hb, K, wb = view.shape
+    dtype = view.dtype
+    dy = (jnp.arange(hb) - bc[0])[:, None, None]       # (hb,1,1)
+    dx = (jnp.arange(wb) - bc[1])[None, None, :]       # (1,1,wb)
+    h = h_eff[None, :, None]                           # (1,K,1)
+    denom = jnp.sqrt(jnp.sqrt(jnp.maximum(v_view, 0.0)))
+    gu = jnp.where(v_view > 0, -m_view / jnp.maximum(denom, 1e-30), 0.0)
+    pull = gu * step_k[None, :, None] * (view > 0)
+    in_y = jnp.abs(dy) <= h
+    in_x = jnp.abs(dx) <= h
+    best = None
+    for mask in ((dy == -h) & in_x, (dy == h) & in_x,
+                 (dx == -h) & in_y, (dx == h) & in_y):
+        mf = mask.astype(dtype)
+        s = jnp.sum(pull * mf, axis=(0, 2))
+        n = jnp.maximum(jnp.sum(mf, axis=(0, 2)), 1.0)
+        e = s / n
+        best = e if best is None else jnp.maximum(best, e)
+    return best
+
+
+def _grow_update(config, b, mb_view, m_view, v_view, base_h, box_half,
+                 step_scale, gate):
+    """Evaluate the edge-pull trigger and return (new_box_half,
+    new_step_scale) for one bucket; all inputs in (hb, K, wb) view
+    layout.  Growth stays inside the physical bucket."""
+    hb, wb = config.box_shapes[b]
+    bc = (hb // 2, wb // 2)
+    h_eff = jnp.maximum(base_h, box_half)
+    step_k = (config.morph_step * step_scale).astype(mb_view.dtype)
+    pull = _edge_pull_view(mb_view, m_view, v_view, step_k, h_eff, bc)
+    can = (h_eff + config.box_grow_step) <= min(bc)
+    trig = (pull > config.box_grow) & can & gate
+    new_half = jnp.where(trig, h_eff + config.box_grow_step, box_half)
+    new_scale = jnp.where(trig, step_scale * 0.5, step_scale)
+    return new_half, new_scale
+
+
+# ---------------------------------------------------------------------------
 # Morphology prox chain (batched over one bucket's components)
 # ---------------------------------------------------------------------------
-def _prox_morph_bucket(morphs, seds, data, config, b):
+def _prox_morph_bucket(morphs, seds, data, config, b, box_half=None):
     """Monotonicity -> background threshold (or positivity) -> center floor
     -> max normalization, over bucket ``b``'s (Kb, hb, wb) stack.
 
@@ -449,8 +554,13 @@ def _prox_morph_bucket(morphs, seds, data, config, b):
 
     if data.box_masks is not None:
         # confine each morphology to its logical (reference) box — gradient
-        # steps can push flux into the physical bucket's padding
-        morphs = morphs * data.box_masks[b]
+        # steps can push flux into the physical bucket's padding; with
+        # config.box_grow the logical box is the init mask grown to the
+        # state's per-slot half-size
+        mask = data.box_masks[b]
+        if box_half is not None:
+            mask = _grown_mask_stack(mask, box_half, (hb // 2, wb // 2))
+        morphs = morphs * mask
 
     # select the monotonicity table for the brightest pixel near each center
     if r > 0:
@@ -496,7 +606,8 @@ def _prox_morph_bucket(morphs, seds, data, config, b):
     return morphs / jnp.max(morphs, axis=(-2, -1), keepdims=True)
 
 
-def _prox_morph_bucket_packed(packed, seds, data, config, b):
+def _prox_morph_bucket_packed(packed, seds, data, config, b,
+                              box_half=None):
     """:func:`_prox_morph_bucket` on the persistent lane-packed
     (hb, K*wb) layout.  The (hb, K, wb) view is a free reshape (the lane
     split is row-major), so every XLA piece of the chain — threshold,
@@ -514,7 +625,10 @@ def _prox_morph_bucket_packed(packed, seds, data, config, b):
 
     if data.box_masks is not None:
         # loop-invariant pack: XLA hoists it out of the scan
-        packed = packed * _pack_morph(data.box_masks[b], hb, wb)
+        mask = _pack_morph(data.box_masks[b], hb, wb)
+        if box_half is not None:
+            mask = _grown_mask_packed(mask, box_half, bc, wb)
+        packed = packed * mask
 
     view = packed.reshape(hb, K, wb)
     if r > 0:
@@ -578,6 +692,8 @@ def fit_step(state, data, config):
 
     new_seds, new_sed_opts = [], []
     new_morphs, new_morph_opts = [], []
+    grow = _grow_enabled(config, state) and data.box_masks is not None
+    new_halves, new_scales = [], []
 
     packed = (packed_morphs_ok(config)
               and state.morphs[0].ndim == state.seds[0].ndim)
@@ -656,13 +772,21 @@ def fit_step(state, data, config):
                 # persistent packed layout: elementwise adaprox step on
                 # the packed arrays, then the packed prox chain; moments
                 # never leave the packed layout
+                K = on_b.shape[0]
+                if grow:
+                    # per-slot morph step, halved on each box growth
+                    mstep = config.morph_step * jnp.repeat(
+                        state.step_scale[b], wb)        # (K*wb,)
+                else:
+                    mstep = config.morph_step
                 stepped, mopt = adaprox_step(
                     morphs_b, g_morphs, it, state.morph_opt[b],
-                    config.morph_step, prox=None, scheme=config.scheme,
+                    mstep, prox=None, scheme=config.scheme,
                     b1=config.b1, b2=config.b2, eps=config.eps,
                     p=config.p, max_prox_iter=config.max_prox_iter)
-                proxed = _prox_morph_bucket_packed(stepped, sb, data,
-                                                   config, b)
+                proxed = _prox_morph_bucket_packed(
+                    stepped, sb, data, config, b,
+                    box_half=state.box_half[b] if grow else None)
                 gate = active & on_b                     # (K,)
 
                 def gate_slots(new, old):
@@ -675,6 +799,16 @@ def fit_step(state, data, config):
                 mopt = jax.tree.map(
                     lambda new, old: gate_slots(new, old),
                     mopt, state.morph_opt[b])
+                if grow:
+                    base_h = _base_half(data.box_masks[b], (hb // 2,
+                                                            wb // 2))
+                    nh, ns = _grow_update(
+                        config, b, mb.reshape(hb, K, wb),
+                        mopt.m.reshape(hb, K, wb),
+                        mopt.v.reshape(hb, K, wb), base_h,
+                        state.box_half[b], state.step_scale[b], gate)
+                    new_halves.append(nh)
+                    new_scales.append(ns)
                 new_seds.append(sb)
                 new_sed_opts.append(sopt)
                 new_morphs.append(mb)
@@ -684,7 +818,8 @@ def fit_step(state, data, config):
             if (config.use_pallas and config.fuse_morph
                     and config.scheme == "amsgrad"
                     and config.max_prox_iter <= 1
-                    and config.band_axis is None):
+                    and config.band_axis is None
+                    and not grow):
                 # fused VMEM pass: amsgrad moments + damped step + the
                 # whole morphology prox chain in one kernel (the
                 # background-threshold cut expressed as the per-slot
@@ -716,18 +851,22 @@ def fit_step(state, data, config):
                 new_morph_opts.append(mopt)
                 continue
 
-            # morphology: constant step; prox chain applied with the *new*
-            # SED (lite/models.py:246-252), batched over the bucket
-            def update_morph(morph, g, opt):
+            # morphology: constant step (times the per-slot box-grow
+            # halving when growth is on); prox chain applied with the
+            # *new* SED (lite/models.py:246-252), batched over the bucket
+            def update_morph(morph, g, opt, mstep):
                 return adaprox_step(
-                    morph, g, it, opt, config.morph_step, prox=None,
+                    morph, g, it, opt, mstep, prox=None,
                     scheme=config.scheme, b1=config.b1, b2=config.b2,
                     eps=config.eps, p=config.p,
                     max_prox_iter=config.max_prox_iter,
                 )
 
+            msteps = (config.morph_step * state.step_scale[b] if grow
+                      else jnp.full((on_b.shape[0],), config.morph_step,
+                                    morphs_b.dtype))
             stepped, mopt = jax.vmap(update_morph)(
-                morphs_b, g_morphs, state.morph_opt[b])
+                morphs_b, g_morphs, state.morph_opt[b], msteps)
 
         if config.optimizer == "fista":
             gate_sed = (active & on_b)[:, None]
@@ -737,7 +876,9 @@ def fit_step(state, data, config):
                     gate_sed if new.ndim == 2 else (active & on_b), new, old),
                 sopt, state.sed_opt[b])
 
-        proxed = _prox_morph_bucket(stepped, sb, data, config, b)
+        proxed = _prox_morph_bucket(
+            stepped, sb, data, config, b,
+            box_half=state.box_half[b] if grow else None)
 
         if config.optimizer == "fista":
             def morph_accel(x_old, x_new, opt):
@@ -755,6 +896,16 @@ def fit_step(state, data, config):
                 gate if new.ndim == 3 else (active & on_b), new, old),
             mopt, state.morph_opt[b],
         )
+
+        if grow:
+            base_h = _base_half(data.box_masks[b], (hb // 2, wb // 2))
+            nh, ns = _grow_update(
+                config, b, jnp.moveaxis(mb, 0, 1),
+                jnp.moveaxis(mopt.m, 0, 1), jnp.moveaxis(mopt.v, 0, 1),
+                base_h, state.box_half[b], state.step_scale[b],
+                active & on_b)
+            new_halves.append(nh)
+            new_scales.append(ns)
 
         new_seds.append(sb)
         new_sed_opts.append(sopt)
@@ -777,6 +928,8 @@ def fit_step(state, data, config):
         active=new_active,
         it=state.it + active.astype(jnp.int32),
         last_loss=jnp.where(active, logL, state.last_loss),
+        box_half=tuple(new_halves) if grow else state.box_half,
+        step_scale=tuple(new_scales) if grow else state.step_scale,
     )
     return new_state, logL
 

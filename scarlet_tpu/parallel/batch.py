@@ -409,6 +409,10 @@ def fit_batch_sharded(state, data, config, n_iter, mesh, shard_bands=False):
         active=P("blends"),
         it=P("blends"),
         last_loss=P("blends"),
+        box_half=None if state.box_half is None else jax.tree.map(
+            lambda x: P("blends"), state.box_half),
+        step_scale=None if state.step_scale is None else jax.tree.map(
+            lambda x: P("blends"), state.step_scale),
     )
 
     def body(s, d):

@@ -517,7 +517,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  bg_thresh=None, e_rel=1e-4, min_iter=1, fft_shape=None,
                  platform=None, use_mask=False, recipe="main", grow=5,
                  wavelet_scales=5, bulge_scales=2, use_psf=True,
-                 max_peaks=None, detect_scales=3):
+                 max_peaks=None, detect_scales=3, box_grow=None):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -681,6 +681,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         e_rel=float(e_rel),
         min_iter=int(min_iter),
         fit_center_radius=1,
+        box_grow=None if box_grow is None else float(box_grow),
         use_pallas=platform != "cpu",
         use_pallas_scene=platform != "cpu",
         conv_mode="dft" if platform != "cpu" else "fft",
@@ -712,6 +713,11 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         active=jnp.ones((B,), bool),
         it=jnp.zeros((B,), jnp.int32),
         last_loss=jnp.full((B,), jnp.inf, images.dtype),
+        # box-growth state (config.box_grow): -1 = still the init box
+        box_half=None if box_grow is None else (
+            jnp.full((B, int(n_slots)), -1, jnp.int32),),
+        step_scale=None if box_grow is None else (
+            jnp.ones((B, int(n_slots)), images.dtype),),
     )
     return config, data, state, aux
 
