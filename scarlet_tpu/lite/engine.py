@@ -122,6 +122,15 @@ class LiteFitConfig:
     # gradient kernels read/write the packed blocks in place.  Requires
     # one bucket, both Pallas paths, adaprox, no band axis.
     packed_morphs: bool = False
+    # run the whole packed morphology prox chain (mono + threshold +
+    # center floor + normalization + slot gating) as ONE Pallas kernel
+    # with the output aliased onto the carry buffer: without this, XLA
+    # stores the packed while-loop carry batch-minor to please the
+    # normalization's reshape/max fusion and transposes the whole stack
+    # into and out of the mono kernel EVERY iteration (2 x 0.70 ms at
+    # B=128 = 26% of the fit step, r4 xplane profile).  Only with
+    # packed_morphs.
+    packed_prox_chain: bool = False
     conv_mode: str = "fft"        # "fft" (XLA FFT) | "dft" (folded matmul-
     # DFT on the MXU — ~1.5x faster on TPU at the fit's small centered
     # shapes, exact to f32 roundoff; see ops/fft.dft_conv_matrices)
@@ -630,9 +639,17 @@ def _prox_morph_bucket_packed(packed, seds, data, config, b,
             mask = _grown_mask_packed(mask, box_half, bc, wb)
         packed = packed * mask
 
-    view = packed.reshape(hb, K, wb)
+    # candidate-center selection: slice the 3 center rows FIRST so the
+    # (hb, K, wb) view reshape only ever touches a tiny array — a view
+    # reshape of the full packed stack here (and in the prox chain
+    # below) makes XLA store the while-loop CARRY batch-minor and
+    # TRANSPOSE the whole (B, hb, K*wb) stack into and out of the mono
+    # kernel every iteration (2 x 0.70 ms at B=128 = 26% of the fit
+    # step, r4 xplane profile)
     if r > 0:
-        win = view[bc[0] - r:bc[0] + r + 1, :, bc[1] - r:bc[1] + r + 1]
+        rows3 = packed[bc[0] - r:bc[0] + r + 1, :]
+        win = rows3.reshape(2 * r + 1, K, wb)[:, :,
+                                              bc[1] - r:bc[1] + r + 1]
         w2 = jnp.moveaxis(win, 1, 0).reshape(K, -1)   # (K, (2r+1)^2)
         idx = jnp.argmax(w2, axis=1).astype(jnp.int32)
     else:
@@ -645,18 +662,26 @@ def _prox_morph_bucket_packed(packed, seds, data, config, b,
         config.min_gradient, interpret=config.pallas_interpret,
         tol=config.mono_tol)
 
-    view = packed.reshape(hb, K, wb)
+    # threshold / positivity, center floor, per-slot max normalization —
+    # expressed on the 2D packed array with iota masks, per-slot rows,
+    # and a row-then-slot max (bitwise identical to the (hb, K, wb) view
+    # formulation, but layout-neutral: see the comment above)
+    colm = jnp.arange(K * wb)
     if config.bg_thresh is not None:
         t_c = config.bg_thresh * data.bg_rms
         thr = jnp.min(t_c[None, :] / jnp.maximum(seds, config.floor),
                       axis=1)
-        view = jnp.where(view < thr[None, :, None], 0.0, view)
+        packed = jnp.where(packed < jnp.repeat(thr, wb)[None, :], 0.0,
+                           packed)
     else:
-        view = jnp.maximum(view, 0.0)
-    center = jnp.maximum(view[bc[0], :, bc[1]], config.floor)
-    view = view.at[bc[0], :, bc[1]].set(center)
-    view = view / jnp.max(view, axis=(0, 2), keepdims=True)
-    return view.reshape(hb, K * wb)
+        packed = jnp.maximum(packed, 0.0)
+    center_mask = ((jnp.arange(hb)[:, None] == bc[0])
+                   & (colm[None, :] % wb == bc[1]))
+    packed = jnp.where(center_mask,
+                       jnp.maximum(packed, config.floor), packed)
+    rowmax = jnp.max(packed, axis=0)                     # (K*wb,)
+    slotmax = jnp.max(rowmax.reshape(K, wb), axis=-1)    # (K,)
+    return packed / jnp.repeat(slotmax, wb)[None, :]
 
 
 # ---------------------------------------------------------------------------
@@ -784,21 +809,70 @@ def fit_step(state, data, config):
                     mstep, prox=None, scheme=config.scheme,
                     b1=config.b1, b2=config.b2, eps=config.eps,
                     p=config.p, max_prox_iter=config.max_prox_iter)
-                proxed = _prox_morph_bucket_packed(
-                    stepped, sb, data, config, b,
-                    box_half=state.box_half[b] if grow else None)
                 gate = active & on_b                     # (K,)
+                if config.packed_prox_chain:
+                    # whole prox chain + gating in one aliased kernel
+                    # (no XLA op touches the packed stack: the carry
+                    # keeps the kernel's layout, killing the
+                    # per-iteration transposes)
+                    from ..ops.pallas_kernels import (
+                        monotonic_prox_packed_chain)
 
-                def gate_slots(new, old):
-                    v_new = new.reshape(hb, -1, wb)
-                    v_old = old.reshape(hb, -1, wb)
-                    return jnp.where(gate[None, :, None], v_new,
-                                     v_old).reshape(hb, -1)
+                    if data.box_masks is not None:
+                        mask = _pack_morph(data.box_masks[b], hb, wb)
+                        if grow:
+                            mask = _grown_mask_packed(
+                                mask, state.box_half[b],
+                                (hb // 2, wb // 2), wb)
+                        stepped = stepped * mask
+                    view = stepped.reshape(hb, K, wb)
+                    r = config.fit_center_radius
+                    bc = (hb // 2, wb // 2)
+                    if r > 0:
+                        win = view[bc[0] - r:bc[0] + r + 1, :,
+                                   bc[1] - r:bc[1] + r + 1]
+                        w2 = jnp.moveaxis(win, 1, 0).reshape(K, -1)
+                        idx = jnp.argmax(w2, axis=1).astype(jnp.int32)
+                    else:
+                        idx = jnp.zeros((K,), jnp.int32)
+                    if config.bg_thresh is None:
+                        thr = jnp.zeros((K,), stepped.dtype)
+                    else:
+                        t_c = config.bg_thresh * data.bg_rms
+                        thr = jnp.min(
+                            t_c[None, :] / jnp.maximum(sb, config.floor),
+                            axis=1)
+                    thr_row = jnp.repeat(thr.astype(stepped.dtype), wb)
+                    gate_row = jnp.repeat(gate.astype(stepped.dtype), wb)
+                    mb = monotonic_prox_packed_chain(
+                        morphs_b, stepped, idx, data.mono_weights[b],
+                        data.mono_keep[b], thr_row, gate_row, wb,
+                        config.mono_n_iters[b], config.min_gradient,
+                        config.floor, interpret=config.pallas_interpret,
+                        tol=config.mono_tol)
+                    # moment gating stays elementwise (no reshape: a
+                    # reshape/select fusion would re-impose the
+                    # batch-minor layout this path exists to avoid)
+                    gate_el = gate_row > 0.5
+                    mopt = jax.tree.map(
+                        lambda new, old: jnp.where(gate_el[None, :],
+                                                   new, old),
+                        mopt, state.morph_opt[b])
+                else:
+                    proxed = _prox_morph_bucket_packed(
+                        stepped, sb, data, config, b,
+                        box_half=state.box_half[b] if grow else None)
 
-                mb = gate_slots(proxed, morphs_b)
-                mopt = jax.tree.map(
-                    lambda new, old: gate_slots(new, old),
-                    mopt, state.morph_opt[b])
+                    # per-slot gating as an elementwise row select (a
+                    # reshape/select fusion here would re-impose the
+                    # batch-minor carry layout — see
+                    # _prox_morph_bucket_packed)
+                    gate_row = jnp.repeat(gate, wb)       # (K*wb,) bool
+                    mb = jnp.where(gate_row[None, :], proxed, morphs_b)
+                    mopt = jax.tree.map(
+                        lambda new, old: jnp.where(gate_row[None, :],
+                                                   new, old),
+                        mopt, state.morph_opt[b])
                 if grow:
                     base_h = _base_half(data.box_masks[b], (hb // 2,
                                                             wb // 2))

@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .prox import NEIGHBOR_OFFSETS
 
 __all__ = ["batched_monotonic_prox", "monotonic_prox_packed",
-           "fused_morph_update", "scene_assembly", "grad_gather"]
+           "monotonic_prox_packed_chain", "fused_morph_update",
+           "scene_assembly", "grad_gather"]
 
 
 def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
@@ -225,6 +226,154 @@ def monotonic_prox_packed(packed, idx, weights_table, keep_table, Wb,
         grid_spec=grid_spec,
         interpret=interpret,
     )(idx, packed[None], weights_table, keep_table)
+    return out[0]
+
+
+def _mono_chain_kernel(idx_ref, xorig_ref, x_ref, wtab_ref, keep_ref,
+                       thr_ref, gate_ref, out_ref, wsel_ref, keepsel_ref,
+                       *, n_iter, scale, group, Wb, floor, tol):
+    """:func:`_mono_kernel` plus the rest of the packed morphology prox
+    chain IN the kernel — background threshold, center floor, per-slot
+    max normalization, and the converged-slot gating
+    ``where(gate, new, x_orig)`` — with the output aliased onto
+    ``x_orig``'s buffer.
+
+    Why: the r4 xplane profile shows the while-loop carry of the packed
+    morphs stored batch-minor ({0,2,1}) to please the XLA reshape/max
+    fusion of the normalization, while Mosaic requires default layout —
+    so XLA transposes the (B, Hb, K*Wb) stack INTO and OUT OF the kernel
+    every iteration (2 x 0.70 ms at B=128 = 26% of the fit iteration).
+    With the whole chain in-kernel and the carry aliased, no XLA op with
+    a layout preference touches the packed buffer and the transposes
+    vanish.
+    """
+    k = pl.program_id(0)
+    Hb = x_ref.shape[-2]
+    wsel_ref[...] = jnp.zeros(wsel_ref.shape, wsel_ref.dtype)
+    for g in range(group):
+        ci = idx_ref[k * group + g]
+        c0 = g * Wb
+        for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            lo, hi = max(0, dx), Wb + min(0, dx)
+            wsel_ref[d, :, c0 + lo:c0 + hi] = \
+                wtab_ref[ci, d][:, lo - dx:hi - dx]
+        keepsel_ref[:, c0:c0 + Wb] = keep_ref[ci]
+
+    x0 = x_ref[0]
+    w = wsel_ref[:]
+    keep_b = keepsel_ref[:] > 0.5
+    gW = group * Wb
+
+    def step(x):
+        rows = {
+            -1: pltpu.roll(x, 1, 0),
+            0: x,
+            1: pltpu.roll(x, Hb - 1, 0),
+        }
+        cols = {-1: None, 0: None, 1: None}
+        for d, (dy, dx) in enumerate(NEIGHBOR_OFFSETS):
+            t = w[d] * rows[dy]
+            cols[dx] = t if cols[dx] is None else cols[dx] + t
+        ref = (cols[0]
+               + pltpu.roll(cols[-1], 1, 1)
+               + pltpu.roll(cols[1], gW - 1, 1))
+        if scale != 1.0:
+            ref = ref * scale
+        new = jnp.minimum(x0, ref)
+        return jnp.where(keep_b, x0, new)
+
+    UNROLL = 4
+
+    def cond(carry):
+        t, _, changed = carry
+        return changed & (t < n_iter)
+
+    def body(carry):
+        t, x, _ = carry
+        for _ in range(UNROLL - 1):
+            x = step(x)
+        new = step(x)
+        if tol > 0.0:
+            changed = jnp.max(jnp.abs(new - x)) > tol
+        else:
+            changed = jnp.any(new != x)
+        return t + UNROLL, new, changed
+
+    _, out, _ = jax.lax.while_loop(cond, body, (0, x0, True))
+
+    # background threshold / positivity (engine._prox_morph_bucket_packed:
+    # thr row is the per-slot pixel cutoff min_c t_c/sed_c, 0 = clamp)
+    thr = thr_ref[0]
+    out = jnp.where(out < thr, jnp.zeros_like(out), out)
+
+    # center floor + per-slot max normalization (selects; no scatter)
+    rows = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+    colm = jax.lax.broadcasted_iota(jnp.int32, out.shape, 1)
+    center_mask = (rows == Hb // 2) & (colm % Wb == Wb // 2)
+    out = jnp.where(center_mask, jnp.maximum(out, floor), out)
+    mxrow = jnp.ones_like(out)
+    for g in range(group):
+        mx = jnp.max(out[:, g * Wb:(g + 1) * Wb])
+        mxrow = jnp.where(colm // Wb == g, mx, mxrow)
+    out = out / mxrow
+
+    gate = gate_ref[0] > 0.5
+    out_ref[0] = jnp.where(gate, out, xorig_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Wb", "n_iter", "min_gradient", "floor", "interpret", "tol"))
+def monotonic_prox_packed_chain(x_orig, stepped, idx, weights_table,
+                                keep_table, thr_row, gate_row, Wb, n_iter,
+                                min_gradient=0.0, floor=1e-20,
+                                interpret=False, tol=0.0):
+    """Whole packed morphology prox chain as ONE VMEM kernel with the
+    output aliased onto the ``x_orig`` carry buffer (in-place update of
+    the fit loop's packed morphology stack — see
+    :func:`_mono_chain_kernel` for the layout rationale).
+
+    Parameters
+    ----------
+    x_orig : (Hb, K*Wb) — the CURRENT carry morphs (returned unchanged
+        for gated-off slots); the output reuses this buffer.
+    stepped : (Hb, K*Wb) — the adaprox-stepped, box-mask-confined morphs.
+    thr_row, gate_row : (K*Wb,) per-slot rows (threshold cutoff and
+        0/1 update gate, replicated across each slot's lane block).
+    """
+    Hb, gW = stepped.shape
+    K = gW // Wb
+    kernel = functools.partial(_mono_chain_kernel, n_iter=n_iter,
+                               scale=1.0 - min_gradient, group=K, Wb=Wb,
+                               floor=floor, tol=float(tol))
+    block = pl.BlockSpec((1, Hb, gW), lambda k, idx: (k, 0, 0),
+                         memory_space=pltpu.VMEM)
+    row_block = pl.BlockSpec((1, 1, gW), lambda k, idx: (k, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            block,                                   # x_orig (aliased)
+            block,                                   # stepped
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # keep table
+            row_block,                               # thr row
+            row_block,                               # gate row
+        ],
+        out_specs=block,
+        scratch_shapes=[
+            pltpu.VMEM((8, Hb, gW), stepped.dtype),
+            pltpu.VMEM((Hb, gW), stepped.dtype),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, Hb, gW), stepped.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},   # x_orig's buffer becomes the out
+        interpret=interpret,
+    )(idx, x_orig[None], stepped[None], weights_table, keep_table,
+      thr_row.reshape(1, 1, gW), gate_row.reshape(1, 1, gW))
     return out[0]
 
 

@@ -182,6 +182,29 @@ def test_engine_packed_layout_matches_xla():
                     np.asarray(out_x.morph_opt[0].v), rtol=1e-4, atol=1e-9)
 
 
+def test_engine_packed_prox_chain_matches_packed():
+    """packed_prox_chain (whole prox chain + gating in one aliased
+    kernel) == the packed path with the XLA chain, bitwise-level."""
+    import dataclasses
+    import __graft_entry__ as g
+
+    config, data, state = g._demo_setup()
+    config_p = dataclasses.replace(
+        config, use_pallas=True, use_pallas_scene=True, packed_morphs=True,
+        pallas_interpret=True)
+    out_p, loss_p = engine.fit_scan(state, data, config_p, 5)
+    config_c = dataclasses.replace(config_p, packed_prox_chain=True)
+    out_c, loss_c = engine.fit_scan(state, data, config_c, 5)
+    assert_allclose(np.asarray(loss_c), np.asarray(loss_p), rtol=1e-6)
+    assert_allclose(np.asarray(out_c.morphs), np.asarray(out_p.morphs),
+                    rtol=1e-6, atol=1e-7)
+    assert_allclose(np.asarray(out_c.seds), np.asarray(out_p.seds),
+                    rtol=1e-6, atol=1e-8)
+    assert_allclose(np.asarray(out_c.morph_opt[0].v),
+                    np.asarray(out_p.morph_opt[0].v), rtol=1e-5,
+                    atol=1e-10)
+
+
 def test_fused_morph_update_matches_reference():
     """The fused adaprox+prox kernel == the explicit sequence: amsgrad
     moment update, damped step, box-mask confinement, candidate-center
