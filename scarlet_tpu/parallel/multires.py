@@ -92,7 +92,8 @@ class MultiResFitter:
 
     def __init__(self, observations, *, box_size, e_rel=1e-4,
                  scheme="amsgrad", morph_step=1e-2, sed_factor=1e-2,
-                 max_prox_iter=1):
+                 max_prox_iter=1, box_grow=None, box_grow_step=5,
+                 keep_best=True):
         self.observations = tuple(observations)
         frame = self.observations[0].model_frame
         self.scene_shape = tuple(frame.shape)
@@ -110,6 +111,23 @@ class MultiResFitter:
         self._morph_step = float(morph_step)
         self._sed_factor = float(sed_factor)
         self._max_prox_iter = int(max_prox_iter)
+        # in-program logical box growth (the reference's edge-pull
+        # resize, ref morphology.py:160-207, as in lite.engine): slots
+        # start at their init-morph support and grow in +box_grow_step
+        # half-size steps inside the fixed physical S whenever the next
+        # Adam update pulls flux onto the logical box edge; the slot's
+        # morph step halves per growth.  None = off (static boxes).
+        self._box_grow = None if box_grow is None else float(box_grow)
+        self._box_grow_step = int(box_grow_step)
+        # return the BEST iterate (per blend) instead of the last:
+        # adaprox is non-monotone and on hard multi-resolution scenes the
+        # trajectory can drift away from its own optimum late in the fit
+        # (measured on the real HSC+HST cutouts: best logL at it~150,
+        # -25k logL worse by it~300).  The reference returns the last
+        # iterate; incumbent tracking costs one extra seds/morphs carry
+        # and strictly improves the returned solution.
+        self._keep_best = bool(keep_best)
+        self.last_box_half_ = None
         self._fit_jit = jax.jit(self._fit_impl,
                                 static_argnames=("n_iter", "min_iter"))
         self._render_jit = jax.jit(jax.vmap(self._render_one))
@@ -124,8 +142,15 @@ class MultiResFitter:
             total = total + 0.5 * jnp.sum(w * (r - y) ** 2)
         return total
 
-    def _prox_morph(self, x, gamma):
+    def _prox_morph(self, x, gamma, box_half=None):
         w8, keep, depth = self._mono
+        if box_half is not None:
+            # confine to the grown centered square (box_grow)
+            S = x.shape[-1]
+            d = jnp.abs(jnp.arange(S) - S // 2)
+            h = box_half[:, None, None]
+            x = x * ((d[None, :, None] <= h)
+                     & (d[None, None, :] <= h)).astype(x.dtype)
         x = jnp.maximum(x, 0.0)
         x = _mono_project(x, w8, keep, depth)
         mx = jnp.max(x, axis=(-2, -1), keepdims=True)
@@ -136,14 +161,16 @@ class MultiResFitter:
         return jnp.maximum(x, 0.0)
 
     def _fit_impl(self, seds, morphs, origins, active, datas, weights,
-                  sed_step_min, n_iter, min_iter):
+                  sed_step_min, box_half, step_scale, n_iter, min_iter):
         B = seds.shape[0]
+        S = self.box_size
+        grow = self._box_grow is not None
         zs, zm = jnp.zeros_like(seds), jnp.zeros_like(morphs)
         sed_state = optim.AdaproxState(m=zs, v=zs, vhat=zs)
         morph_state = optim.AdaproxState(m=zm, v=zm, vhat=zm)
 
         def one_step(it, seds, morphs, s_sed, s_morph, run, origins,
-                     active, datas, weights, step_min):
+                     active, datas, weights, step_min, b_half, s_scale):
             loss, (g_sed, g_morph) = jax.value_and_grad(
                 self._loss_one, argnums=(0, 1))(
                     seds, morphs, origins, active, datas, weights)
@@ -156,36 +183,87 @@ class MultiResFitter:
                 seds, g_sed, it, s_sed, step_sed, prox=self._prox_sed,
                 scheme=self._scheme, max_prox_iter=self._max_prox_iter,
                 active=run)
+            if grow:
+                mstep = self._morph_step * s_scale[:, None, None]
+                prox = lambda x, g: self._prox_morph(  # noqa: E731
+                    x, g, box_half=b_half)
+            else:
+                mstep = self._morph_step
+                prox = self._prox_morph
             new_morphs, s_morph = optim.adaprox_step(
-                morphs, g_morph, it, s_morph, self._morph_step,
-                prox=self._prox_morph, scheme=self._scheme,
+                morphs, g_morph, it, s_morph, mstep,
+                prox=prox, scheme=self._scheme,
                 max_prox_iter=self._max_prox_iter, active=run)
-            return loss, new_seds, new_morphs, s_sed, s_morph
+            if grow:
+                from ..lite.engine import _edge_pull_view
+
+                bc = (S // 2, S // 2)
+                pull = _edge_pull_view(
+                    jnp.moveaxis(new_morphs, 0, 1),
+                    jnp.moveaxis(s_morph.m, 0, 1),
+                    jnp.moveaxis(s_morph.v, 0, 1),
+                    (self._morph_step * s_scale).astype(new_morphs.dtype),
+                    b_half, bc)
+                can = (b_half + self._box_grow_step) <= S // 2
+                trig = (pull > self._box_grow) & can & run & active
+                b_half = jnp.where(trig, b_half + self._box_grow_step,
+                                   b_half)
+                s_scale = jnp.where(trig, s_scale * 0.5, s_scale)
+            return (loss, new_seds, new_morphs, s_sed, s_morph, b_half,
+                    s_scale)
 
         vstep = jax.vmap(one_step,
-                         in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None))
+                         in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None,
+                                  0, 0))
 
         def body(carry, it):
-            (seds, morphs, s_sed, s_morph, last_loss, done, iters) = carry
+            (seds, morphs, s_sed, s_morph, last_loss, done, iters,
+             b_half, s_scale, best) = carry
             run = ~done
-            loss, seds, morphs, s_sed, s_morph = vstep(
+            # the recorded loss belongs to the PRE-update state: snapshot
+            # it as the incumbent when it improves
+            (loss, new_seds, new_morphs, s_sed, s_morph, b_half,
+             s_scale) = vstep(
                 it, seds, morphs, s_sed, s_morph, run, origins, active,
-                datas, weights, sed_step_min)
+                datas, weights, sed_step_min, b_half, s_scale)
+            if self._keep_best:
+                b_loss, b_seds, b_morphs = best
+                better = loss < b_loss
+                best = (jnp.where(better, loss, b_loss),
+                        jnp.where(better[:, None, None], seds, b_seds),
+                        jnp.where(better[:, None, None, None], morphs,
+                                  b_morphs))
+            seds, morphs = new_seds, new_morphs
             # the reference's stop: |dL| < e_rel * |L| (blend.py:294-296)
             conv = (jnp.abs(loss - last_loss)
                     < self.e_rel * jnp.abs(loss)) & (it >= min_iter)
             new_done = done | conv
             iters = iters + run.astype(jnp.int32)
             return ((seds, morphs, s_sed, s_morph,
-                     jnp.where(run, loss, last_loss), new_done, iters),
+                     jnp.where(run, loss, last_loss), new_done, iters,
+                     b_half, s_scale, best),
                     loss)
 
+        best0 = (jnp.full((B,), jnp.inf, self.dtype), seds, morphs)
         init = (seds, morphs, sed_state, morph_state,
                 jnp.full((B,), jnp.inf, self.dtype),
-                jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32))
-        (seds, morphs, _, _, last_loss, _, iters), losses = lax.scan(
-            body, init, jnp.arange(n_iter))
-        return seds, morphs, last_loss, iters, losses
+                jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+                box_half, step_scale, best0)
+        (seds, morphs, _, _, last_loss, _, iters, box_half, _,
+         best), losses = lax.scan(body, init, jnp.arange(n_iter))
+        if self._keep_best:
+            # the final state's own loss was never evaluated by the
+            # scan (the trace lags one step): score it and keep the
+            # better of (final, incumbent)
+            final_loss = jax.vmap(self._loss_one)(
+                seds, morphs, origins, active, datas, weights)
+            b_loss, b_seds, b_morphs = best
+            better = final_loss < b_loss
+            seds = jnp.where(better[:, None, None], seds, b_seds)
+            morphs = jnp.where(better[:, None, None, None], morphs,
+                               b_morphs)
+            last_loss = jnp.minimum(final_loss, b_loss)
+        return seds, morphs, last_loss, iters, losses, box_half
 
     # ---- public API ----
     def fit(self, datas, weights, seds, morphs, origins, active=None, *,
@@ -246,9 +324,28 @@ class MultiResFitter:
                 else:   # mixing matrix: adjoint scatter
                     sed_step_min += np.asarray(cmap).T @ m
         sed_step_min = jnp.asarray(sed_step_min, self.dtype)
-        return self._fit_jit(seds, morphs, origins, active, datas,
-                             weights, sed_step_min, n_iter=int(n_iter),
-                             min_iter=int(min_iter))
+        B, K = seds.shape[:2]
+        if self._box_grow is not None:
+            # initial logical half-size = the init morphology's support
+            # extent from the box center (PSF-stamp seeds start compact)
+            from ..lite.engine import _base_half
+
+            S = self.box_size
+            sup = (morphs > 0).astype(jnp.float32)
+            box_half = jax.vmap(
+                lambda m: _base_half(m, (S // 2, S // 2)))(sup)
+            step_scale = jnp.ones((B, K), self.dtype)
+        else:
+            box_half = jnp.zeros((B, K), jnp.int32)
+            step_scale = jnp.ones((B, K), self.dtype)
+        (seds, morphs, last_loss, iters, losses,
+         box_half) = self._fit_jit(seds, morphs, origins, active, datas,
+                                   weights, sed_step_min, box_half,
+                                   step_scale, n_iter=int(n_iter),
+                                   min_iter=int(min_iter))
+        self.last_box_half_ = (np.asarray(box_half)
+                               if self._box_grow is not None else None)
+        return seds, morphs, last_loss, iters, losses
 
     def _render_one(self, seds, morphs, origins, active):
         scene = _assemble_scene(seds, morphs, origins, active,

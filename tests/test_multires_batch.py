@@ -196,6 +196,59 @@ class TestSyntheticRotated:
 
 @needs_ref_data
 class TestRealHSCHST:
+    def test_batched_beats_object_tree_at_equal_iterations(self):
+        """The batched fitter with box growth + incumbent tracking
+        reaches a BETTER logL than the object-tree `Blend.fit` on the
+        multiresolution tutorial config at the same iteration count
+        (kills the r3 finding that the batched 2-source fit was ~3%
+        worse because only the object tree grows its boxes)."""
+        from scarlet_tpu.utils.fits import read_fits
+
+        hsc, _, wcs_hsc = read_fits(os.path.join(REF_DATA, "Cut_HSC.fits"))
+        hst, _, wcs_hst = read_fits(os.path.join(REF_DATA, "Cut_HST.fits"))
+        psf_hsc, _, _ = read_fits(os.path.join(REF_DATA, "PSF_HSC.fits"))
+        psf_hst, _, _ = read_fits(os.path.join(REF_DATA, "PSF_HST.fits"))
+        obs_hsc = st.Observation(hsc, wcs=wcs_hsc, psf=st.ImagePSF(psf_hsc),
+                                 channels=list("grizy"))
+        obs_hst = st.Observation(hst[None], wcs=wcs_hst,
+                                 psf=st.ImagePSF(psf_hst[None]),
+                                 channels=["F814W"])
+        frame = st.Frame.from_observations([obs_hsc, obs_hst],
+                                           coverage="intersection")
+        sky = [obs_hst.get_sky_coord((118.0, 134.0)),
+               obs_hst.get_sky_coord((42.0, 167.0))]
+
+        # object tree: grows boxes via UpdateException warm restarts
+        srcs = [st.CompactExtendedSource(frame, s, [obs_hsc, obs_hst])
+                for s in sky]
+        blend = st.Blend(srcs, [obs_hsc, obs_hst])
+        n_iter, logL_tree = blend.fit(200, e_rel=1e-6)
+        assert max(s.bbox.shape[-1] for s in blend.sources) > 61
+
+        # batched fitter at the SAME iteration budget: physical box at
+        # the tree's grown size, logical boxes grow in-program from the
+        # PSF seed, morph step 5e-2 (measured: 1e-2 underfits this
+        # config in <=200 iterations), incumbent tracking guards the
+        # late-phase adaprox drift
+        centers = np.asarray([
+            np.asarray(frame.get_pixel(s), float)[:2] for s in sky])[None]
+        d_hst = np.asarray(hst, np.float32)[None][None]
+        d_hsc = np.asarray(hsc, np.float32)[None]
+        w_hst = np.full_like(d_hst, 1.0)
+        w_hsc = np.full_like(d_hsc, 1.0)
+        obs = (obs_hst, obs_hsc)
+        fitter = MultiResFitter(obs, box_size=151, e_rel=1e-8,
+                                morph_step=5e-2, box_grow=0.1)
+        init = multires_init(obs, (d_hst, d_hsc), centers,
+                             box_size=151, n_slots=2)
+        seds, morphs, loss, iters, losses = fitter.fit(
+            (d_hst, d_hsc), (w_hst, w_hsc), *init, n_iter=n_iter)
+        logL = float(-np.asarray(loss)[0]
+                     - fitter.log_norm((w_hst, w_hsc))[0])
+        # boxes grew from the PSF seed
+        assert fitter.last_box_half_[0].max() > 10
+        assert logL >= float(logL_tree), (logL, float(logL_tree))
+
     def test_joint_batch_fit(self):
         """Joint HSC(5-band, resampled+rotated) + HST(1-band) batched fit
         on the reference's real cutouts (the multiresolution tutorial
