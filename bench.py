@@ -11,6 +11,8 @@ e_rel=1e-4, cap 100; scarlet/testing/settings.py:1-2):
    batched on-device initialization, the batched fit, and per-source flux
    measurement — the production "stream of different blends" number that
    replaces the reference's serial per-blend loop (testing/api.py:216-226);
+   also re-timed with device-side peak detection (centers=None) against
+   the device-resident catalog run to expose the detection overhead;
 3. end-to-end heterogeneous: 256 generated blends with different source
    counts (3-10), positions, sizes, and per-band seeing
    (testing/blendsets.py), through the same stream path; reports slot
@@ -235,6 +237,21 @@ def main():
         lambda: run_e2e(dev_inputs))
     _stamp(t00, f"device-resident e2e: {[f'{x:.2f}' for x in e2e_dev_times]}")
 
+    # detection path: centers=None replaces the explicit catalog with
+    # device-side peak detection (parallel.detect_peaks_device) inside the
+    # stream; device-resident inputs so the detection overhead is measured
+    # against the same-session catalog number, not tunnel upload weather
+    # (tools/detect_stream_bench.py methodology; BASELINE r4: 2.06%)
+    def run_e2e_detect():
+        return parallel.deblend_device_stream(
+            dev_inputs[0], dev_inputs[1], dev_inputs[2], None, model_psf,
+            box_size=59, n_slots=10, max_iter=MAX_ITER, check_every=25,
+            chunk=128)
+
+    run_e2e_detect()   # warmup: compiles the detection program
+    _, e2e_det_s, e2e_det_times = _median_timed(run_e2e_detect)
+    _stamp(t00, f"detection e2e: {[f'{x:.2f}' for x in e2e_det_times]}")
+
     e2e_result = {
         "blends_per_min": round(e2e_bpm, 1),
         "n_distinct_blends": N_E2E,
@@ -250,6 +267,10 @@ def main():
             N_E2E / e2e_dev_s * 60.0, 1),
         "device_resident_spread_s": [
             round(x, 3) for x in sorted(e2e_dev_times)],
+        "detection_blends_per_min": round(N_E2E / e2e_det_s * 60.0, 1),
+        "detection_spread_s": [round(x, 3) for x in sorted(e2e_det_times)],
+        "detection_overhead_pct": round(
+            100.0 * (e2e_det_s - e2e_dev_s) / e2e_dev_s, 2),
     }
     del records, e2e_losses, dev_inputs
 
