@@ -3,7 +3,8 @@ table, aimed at the while-boundary staging question (r3 closing profile:
 ~1.4 ms/iter (26%) of slice-starts moving packed windows in/out of the
 loop carries).
 
-Usage:  python tools/profile_fit_boundary.py [batch] [n_iter]
+Usage:  python tools/profile_fit_boundary.py [batch] [n_iter] [chain]
+        ("chain" as the 3rd arg profiles packed_prox_chain=True)
 
 Prints the parse_xplane per-op table plus a boundary-vs-compute summary.
 Trace dir: /tmp/prof_fit_boundary (overwritten).
@@ -46,6 +47,9 @@ def main():
     bdata = jax.tree.map(
         lambda x: None if x is None else jnp.asarray(np.asarray(x)),
         bdata, is_leaf=lambda x: x is None)
+    if "chain" in sys.argv[3:]:
+        import dataclasses
+        config = dataclasses.replace(config, packed_prox_chain=True)
 
     def run():
         out, losses = parallel.fit_batch_device_converged(
