@@ -517,7 +517,8 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  bg_thresh=None, e_rel=1e-4, min_iter=1, fft_shape=None,
                  platform=None, use_mask=False, recipe="main", grow=5,
                  wavelet_scales=5, bulge_scales=2, use_psf=True,
-                 max_peaks=None, detect_scales=3, box_grow=None):
+                 max_peaks=None, detect_scales=3, box_grow=None,
+                 mono_tol=0.0):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -682,6 +683,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         min_iter=int(min_iter),
         fit_center_radius=1,
         box_grow=None if box_grow is None else float(box_grow),
+        mono_tol=float(mono_tol),
         use_pallas=platform != "cpu",
         use_pallas_scene=platform != "cpu",
         conv_mode="dft" if platform != "cpu" else "fft",
