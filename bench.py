@@ -163,6 +163,12 @@ def main():
                             d["centers"])
         config, data, state = blend.engine_setup(e_rel=1e-4,
                                                  platform=fit_platform)
+    if fit_platform != "cpu":
+        import dataclasses
+
+        # production mono tolerance (the stream default): +17% with final
+        # records bitwise identical to the exact kernel — BASELINE r4
+        config = dataclasses.replace(config, mono_tol=1e-3)
     bdata, bstate = parallel.replicate_blend(data, state, STEADY_BATCH)
 
     def run():

@@ -71,6 +71,27 @@ class TestStreamInit:
         np.testing.assert_array_equal(np.asarray(sdata.kernel_rfft[0]),
                                       np.asarray(hdata.kernel_rfft))
 
+    def test_mono_tol_default_wiring(self, hsc, host_setup):
+        """The stream's mono_tol default is backend-split: 0.0 on CPU
+        (exact reference-parity projection) and 1e-3 on accelerators
+        (+17% with final records measured bitwise identical — BASELINE
+        r4); an explicit value always wins."""
+        _, (cfg, _, _) = host_setup
+        S = cfg.box_shapes[0][0]
+        n_slots = cfg.bucket_counts[0]
+
+        def setup(**kw):
+            c, _, _, _ = stream.stream_setup(
+                hsc["images"][None], hsc["variance"][None],
+                hsc["psfs"][None], np.asarray(hsc["centers"])[None],
+                hsc["model_psf"], box_size=S, n_slots=n_slots, **kw)
+            return c
+
+        assert setup().mono_tol == 0.0                 # CPU test backend
+        assert setup(platform="tpu").mono_tol == 1e-3
+        assert setup(platform="tpu", mono_tol=0.0).mono_tol == 0.0
+        assert setup(mono_tol=5e-4).mono_tol == 5e-4
+
     def test_seeds_match_host(self, host_setup, stream_setup_out):
         _, (cfg, hdata, hstate) = host_setup
         scfg, sdata, sstate, aux = stream_setup_out
