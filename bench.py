@@ -38,7 +38,14 @@ BATCH = 512
 STEADY_BATCH = 128   # fastest per-blend batch (BASELINE.md r3 sweep)
 N_E2E = 256
 N_HET = 256
-HET_SLOTS = 12
+# Slot layout sized to ~p99 of needed components for the generated set
+# (need max 15 here): overflow then never (or rarely) triggers the retry
+# lane, which otherwise costs ~32% of het wall time refitting crowded
+# blends as a tiny latency-bound batch.  Measured same-session at
+# n_slots {12, 16, 20}: 6,817 / 9,099 / 6,742 blends/min — slots are
+# cheap up to 16 but NOT beyond (tools/retry_cost_ab.py, BASELINE r4).
+# retry_overflow stays on as the correctness backstop (free at 0%).
+HET_SLOTS = 16
 
 
 def load_data():
