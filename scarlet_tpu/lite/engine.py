@@ -99,6 +99,15 @@ class LiteFitConfig:
     # by more than mono_tol (morphs are unit-peak).  NOT reference
     # semantics — measure before use (BASELINE r4 A/B).
     mono_tol: float = 0.0
+    # iteration-scheduled tolerance: run the mono kernel at the LOOSER
+    # mono_tol_early while it < mono_tol_switch, then at mono_tol.  The
+    # tolerance is a traced SMEM scalar (same compiled program), and
+    # convergence freezing is suppressed until the switch so no blend can
+    # freeze at early-tolerance quality (fit_step).  0/0 (default) = off.
+    # Ignored by packed_prox_chain (static-tol kernel) and the XLA
+    # fallback.  Measure before use (BASELINE r4).
+    mono_tol_early: float = 0.0
+    mono_tol_switch: int = 0
     # in-program logical box growth (the reference's edge-pull test, ref
     # morphology.py:160-207, reformulated for static shapes): when the
     # next Adam update would pull flux onto a component's logical box
@@ -545,10 +554,23 @@ def _grow_update(config, b, mb_view, m_view, v_view, base_h, box_half,
     return new_half, new_scale
 
 
+def _mono_tol_arr(config, it):
+    """Traced tolerance for the scheduled mono exit (None = static
+    ``config.mono_tol`` alone).  Per blend: the looser ``mono_tol_early``
+    before iteration ``mono_tol_switch``, ``mono_tol`` after."""
+    if (config.mono_tol_switch > 0
+            and config.mono_tol_early > config.mono_tol
+            and it is not None):
+        return jnp.where(it < config.mono_tol_switch,
+                         config.mono_tol_early, config.mono_tol)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Morphology prox chain (batched over one bucket's components)
 # ---------------------------------------------------------------------------
-def _prox_morph_bucket(morphs, seds, data, config, b, box_half=None):
+def _prox_morph_bucket(morphs, seds, data, config, b, box_half=None,
+                       it=None):
     """Monotonicity -> background threshold (or positivity) -> center floor
     -> max normalization, over bucket ``b``'s (Kb, hb, wb) stack.
 
@@ -585,7 +607,8 @@ def _prox_morph_bucket(morphs, seds, data, config, b, box_half=None):
         morphs = batched_monotonic_prox(
             morphs, idx, data.mono_weights[b], data.mono_keep[b],
             n_iter, config.min_gradient,
-            interpret=config.pallas_interpret, tol=config.mono_tol)
+            interpret=config.pallas_interpret, tol=config.mono_tol,
+            tol_arr=_mono_tol_arr(config, it))
     else:
         w = data.mono_weights[b][idx]       # (Kb, 8, hb, wb)
         keep = data.mono_keep[b][idx] > 0.5
@@ -616,7 +639,7 @@ def _prox_morph_bucket(morphs, seds, data, config, b, box_half=None):
 
 
 def _prox_morph_bucket_packed(packed, seds, data, config, b,
-                              box_half=None):
+                              box_half=None, it=None):
     """:func:`_prox_morph_bucket` on the persistent lane-packed
     (hb, K*wb) layout.  The (hb, K, wb) view is a free reshape (the lane
     split is row-major), so every XLA piece of the chain — threshold,
@@ -660,7 +683,7 @@ def _prox_morph_bucket_packed(packed, seds, data, config, b,
     packed = monotonic_prox_packed(
         packed, idx, data.mono_weights[b], data.mono_keep[b], wb, n_iter,
         config.min_gradient, interpret=config.pallas_interpret,
-        tol=config.mono_tol)
+        tol=config.mono_tol, tol_arr=_mono_tol_arr(config, it))
 
     # threshold / positivity, center floor, per-slot max normalization —
     # expressed on the 2D packed array with iota masks, per-slot rows,
@@ -861,7 +884,8 @@ def fit_step(state, data, config):
                 else:
                     proxed = _prox_morph_bucket_packed(
                         stepped, sb, data, config, b,
-                        box_half=state.box_half[b] if grow else None)
+                        box_half=state.box_half[b] if grow else None,
+                        it=it)
 
                     # per-slot gating as an elementwise row select (a
                     # reshape/select fusion here would re-impose the
@@ -952,7 +976,7 @@ def fit_step(state, data, config):
 
         proxed = _prox_morph_bucket(
             stepped, sb, data, config, b,
-            box_half=state.box_half[b] if grow else None)
+            box_half=state.box_half[b] if grow else None, it=it)
 
         if config.optimizer == "fista":
             def morph_accel(x_old, x_new, opt):
@@ -986,8 +1010,13 @@ def fit_step(state, data, config):
         new_morphs.append(mb)
         new_morph_opts.append(mopt)
 
-    # convergence: |dL| < e_rel |L| after min_iter (lite/models.py:618)
-    converged = (it > config.min_iter) & (
+    # convergence: |dL| < e_rel |L| after min_iter (lite/models.py:618).
+    # With the iteration-scheduled mono tolerance, freezing is suppressed
+    # until the switch: no blend may converge at early-tolerance quality.
+    min_it = config.min_iter
+    if config.mono_tol_switch > 0 and config.mono_tol_early > config.mono_tol:
+        min_it = max(min_it, config.mono_tol_switch)
+    converged = (it > min_it) & (
         jnp.abs(logL - state.last_loss) < config.e_rel * jnp.abs(logL)
     )
     new_active = active & ~converged

@@ -27,8 +27,8 @@ __all__ = ["batched_monotonic_prox", "monotonic_prox_packed",
            "scene_assembly", "grad_gather"]
 
 
-def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
-                 keepsel_ref, *, n_iter, scale, group, Wb, tol=0.0):
+def _mono_kernel(idx_ref, *refs, n_iter, scale, group, Wb, tol=0.0,
+                 dynamic_tol=False):
     """One grid step processes ``group`` morphologies packed side by side
     along the lane axis as (Hb, group*Wb): shifts are circular rolls of one
     wide 2D array (full VPU lane utilization).  Rolls leak across morph
@@ -46,7 +46,17 @@ def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
     weights, which are zero.
 
     Per-morph candidate weight tables are gathered into VMEM scratch once
-    per group, amortized over all passes."""
+    per group, amortized over all passes.
+
+    With ``dynamic_tol`` the exit tolerance is a TRACED per-call scalar
+    (second scalar-prefetch operand, SMEM) instead of the static ``tol``
+    — the iteration-scheduled tolerance (LiteFitConfig.mono_tol_early)
+    switches tolerances mid-program without compiling a second fit."""
+    if dynamic_tol:
+        (tol_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
+         keepsel_ref) = refs
+    else:
+        x_ref, wtab_ref, keep_ref, out_ref, wsel_ref, keepsel_ref = refs
     k = pl.program_id(0)
     Hb = x_ref.shape[-2]
     wsel_ref[...] = jnp.zeros(wsel_ref.shape, wsel_ref.dtype)
@@ -106,7 +116,11 @@ def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
         for _ in range(UNROLL - 1):
             x = step(x)
         new = step(x)
-        if tol > 0.0:
+        if dynamic_tol:
+            # max|delta| > tol with a TRACED tol; at tol == 0.0 this is
+            # exactly the bitwise any(new != x) exit (finite values)
+            changed = jnp.max(jnp.abs(new - x)) > tol_ref[0]
+        elif tol > 0.0:
             changed = jnp.max(jnp.abs(new - x)) > tol
         else:
             changed = jnp.any(new != x)
@@ -120,7 +134,7 @@ def _mono_kernel(idx_ref, x_ref, wtab_ref, keep_ref, out_ref, wsel_ref,
                                              "interpret", "group", "tol"))
 def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
                            min_gradient=0.0, interpret=False, group=None,
-                           tol=0.0):
+                           tol=0.0, tol_arr=None):
     """Radially monotonic projection of a stack of morphologies.
 
     Parameters
@@ -155,32 +169,35 @@ def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
     packed = morphs.reshape(n_groups, group, Hb, Wb)
     packed = jnp.swapaxes(packed, 1, 2).reshape(n_groups, Hb, group * Wb)
 
+    dynamic = tol_arr is not None
     kernel = functools.partial(_mono_kernel, n_iter=n_iter,
                                scale=1.0 - min_gradient, group=group, Wb=Wb,
-                               tol=float(tol))
+                               tol=float(tol), dynamic_tol=dynamic)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if dynamic else 1,
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((1, Hb, group * Wb), lambda k, idx: (k, 0, 0),
+            pl.BlockSpec((1, Hb, group * Wb), lambda k, *s: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full weights table
             pl.BlockSpec(memory_space=pltpu.VMEM),   # full keep table
         ],
-        out_specs=pl.BlockSpec((1, Hb, group * Wb), lambda k, idx: (k, 0, 0),
+        out_specs=pl.BlockSpec((1, Hb, group * Wb), lambda k, *s: (k, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((8, Hb, group * Wb), morphs.dtype),
             pltpu.VMEM((Hb, group * Wb), morphs.dtype),
         ],
     )
+    args = (idx, tol_arr.reshape(1).astype(morphs.dtype)) if dynamic \
+        else (idx,)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_groups, Hb, group * Wb),
                                        morphs.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx, packed, weights_table, keep_table)
+    )(*args, packed, weights_table, keep_table)
     out = out.reshape(n_groups, Hb, group, Wb)
     out = jnp.swapaxes(out, 1, 2).reshape(K_pad, Hb, Wb)
     return out[:K]
@@ -190,7 +207,7 @@ def batched_monotonic_prox(morphs, idx, weights_table, keep_table, n_iter,
                                              "interpret", "tol"))
 def monotonic_prox_packed(packed, idx, weights_table, keep_table, Wb,
                           n_iter, min_gradient=0.0, interpret=False,
-                          tol=0.0):
+                          tol=0.0, tol_arr=None):
     """Monotonicity projection on an ALREADY lane-packed (Hb, K*Wb) stack
     (slot k in columns [k*Wb, (k+1)*Wb)) — the persistent packed-layout
     hot path: no per-call pack/unpack transposes (those HBM layout copies
@@ -201,31 +218,34 @@ def monotonic_prox_packed(packed, idx, weights_table, keep_table, Wb,
     """
     Hb, gW = packed.shape
     K = gW // Wb
+    dynamic = tol_arr is not None
     kernel = functools.partial(_mono_kernel, n_iter=n_iter,
                                scale=1.0 - min_gradient, group=K, Wb=Wb,
-                               tol=float(tol))
+                               tol=float(tol), dynamic_tol=dynamic)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if dynamic else 1,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, Hb, gW), lambda k, idx: (k, 0, 0),
+            pl.BlockSpec((1, Hb, gW), lambda k, *s: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, Hb, gW), lambda k, idx: (k, 0, 0),
+        out_specs=pl.BlockSpec((1, Hb, gW), lambda k, *s: (k, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((8, Hb, gW), packed.dtype),
             pltpu.VMEM((Hb, gW), packed.dtype),
         ],
     )
+    args = (idx, tol_arr.reshape(1).astype(packed.dtype)) if dynamic \
+        else (idx,)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((1, Hb, gW), packed.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(idx, packed[None], weights_table, keep_table)
+    )(*args, packed[None], weights_table, keep_table)
     return out[0]
 
 

@@ -66,6 +66,71 @@ def test_monotonic_tol_early_exit_close_to_exact():
     assert np.all(loose >= exact - 1e-6)
 
 
+def test_monotonic_dynamic_tol_matches_static():
+    """tol_arr (traced SMEM scalar, the iteration-scheduled tolerance)
+    must equal the static-tol kernel at the same value, and be
+    bitwise-exact at 0.0 — for both the grouped and the lane-packed
+    entry points."""
+    from scarlet_tpu.ops.pallas_kernels import monotonic_prox_packed
+
+    rng = np.random.RandomState(3)
+    box = (21, 21)
+    K = 6
+    weights, keeps, n_iter = engine.monotonicity_tables(
+        box, fit_center_radius=1, neighbor_weight="angle")
+    morphs = rng.rand(K, *box).astype(np.float32)
+    idx = rng.randint(0, weights.shape[0], size=(K,)).astype(np.int32)
+    args = (jnp.asarray(morphs), jnp.asarray(idx),
+            jnp.asarray(weights.astype(np.float32)), jnp.asarray(keeps),
+            n_iter)
+
+    exact = np.asarray(batched_monotonic_prox(*args, interpret=True))
+    dyn0 = np.asarray(batched_monotonic_prox(
+        *args, interpret=True, tol_arr=jnp.asarray(0.0)))
+    np.testing.assert_array_equal(exact, dyn0)
+    loose_s = np.asarray(batched_monotonic_prox(*args, interpret=True,
+                                                tol=1e-3))
+    loose_d = np.asarray(batched_monotonic_prox(
+        *args, interpret=True, tol_arr=jnp.asarray(1e-3)))
+    np.testing.assert_array_equal(loose_s, loose_d)
+
+    Hb, Wb = box
+    packed = jnp.swapaxes(jnp.asarray(morphs), 0, 1).reshape(Hb, K * Wb)
+    wtab = jnp.asarray(weights.astype(np.float32))
+    pe = np.asarray(monotonic_prox_packed(
+        packed, jnp.asarray(idx), wtab, jnp.asarray(keeps), Wb, n_iter,
+        interpret=True))
+    pd = np.asarray(monotonic_prox_packed(
+        packed, jnp.asarray(idx), wtab, jnp.asarray(keeps), Wb, n_iter,
+        interpret=True, tol_arr=jnp.asarray(0.0)))
+    np.testing.assert_array_equal(pe, pd)
+
+
+def test_engine_scheduled_mono_tol():
+    """mono_tol_early/mono_tol_switch (iteration-scheduled tolerance):
+    the scheduled fit must land at the static-tolerance solution, and the
+    0/0 defaults must leave the program bitwise unchanged."""
+    import dataclasses
+    import __graft_entry__ as g
+
+    config, data, state = g._demo_setup()
+    for extra in ({}, {"packed_morphs": True, "use_pallas_scene": True}):
+        cfg = dataclasses.replace(config, use_pallas=True,
+                                  pallas_interpret=True, **extra)
+        out_b, loss_b = engine.fit_scan(state, data, cfg, 20)
+        out_d, loss_d = engine.fit_scan(state, data, dataclasses.replace(
+            cfg, mono_tol_early=0.0, mono_tol_switch=0), 20)
+        np.testing.assert_array_equal(np.asarray(loss_d),
+                                      np.asarray(loss_b))
+        cfg_s = dataclasses.replace(cfg, mono_tol=1e-3,
+                                    mono_tol_early=1e-2, mono_tol_switch=8)
+        out_s, loss_s = engine.fit_scan(state, data, cfg_s, 20)
+        lb, ls = np.asarray(loss_b)[-1], np.asarray(loss_s)[-1]
+        assert abs(ls - lb) / abs(lb) < 1e-4
+        # convergence freezing was suppressed through the switch
+        assert int(out_s.it) >= 8
+
+
 def test_engine_pallas_interpret_matches_xla():
     """Whole fit step with use_pallas(+interpret) equals the XLA path."""
     import dataclasses
