@@ -518,7 +518,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  platform=None, use_mask=False, recipe="main", grow=5,
                  wavelet_scales=5, bulge_scales=2, use_psf=True,
                  max_peaks=None, detect_scales=3, box_grow=None,
-                 mono_tol=None):
+                 mono_tol=None, mono_tol_early=0.0, mono_tol_switch=0):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -693,6 +693,11 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         # reference-parity projection (the CPU/test default).
         mono_tol=(1e-3 if platform != "cpu" else 0.0)
         if mono_tol is None else float(mono_tol),
+        # iteration-scheduled tolerance (looser mono_tol_early before
+        # iteration mono_tol_switch, mono_tol after; one compiled
+        # program — the tolerance is a traced SMEM scalar).  0/0 = off.
+        mono_tol_early=float(mono_tol_early),
+        mono_tol_switch=int(mono_tol_switch),
         use_pallas=platform != "cpu",
         use_pallas_scene=platform != "cpu",
         conv_mode="dft" if platform != "cpu" else "fft",
