@@ -173,8 +173,8 @@ def unpack_blends(blends, state, losses=None, reweight=True):
     state = jax.device_get(state)
     with jax.default_device(jax.devices("cpu")[0]):
         for i, bl in enumerate(blends):
-            sub = jax.tree.map(lambda x: x[i], state,
-                               is_leaf=lambda x: x is None)
+            sub = jax.tree.map(lambda x: None if x is None else x[i],
+                               state, is_leaf=lambda x: x is None)
             ran = int(sub.it) - bl.it
             if losses is not None and ran > 0:
                 bl.loss.extend(losses[:ran, i].tolist())
