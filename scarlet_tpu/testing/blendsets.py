@@ -88,9 +88,15 @@ def generate_blend(rng, shape=(5, 58, 48), n_sources=None, min_sep=5.0,
     C, H, W = shape
     filters = list(settings.filters)[:C]
     sigmas = rng.uniform(1.1, 2.1, size=C).astype(np.float32)
-    ells = (rng.uniform(0.0, psf_ellip, size=C) if psf_ellip > 0
-            else np.zeros(C))
-    pangs = rng.uniform(0, np.pi, size=C)
+    # knob-gated draws must not consume the rng stream when off: sets
+    # 4-7 (all knobs 0) must regenerate bit-identical to their committed
+    # baselines' recording (the set cache is ephemeral)
+    if psf_ellip > 0:
+        ells = rng.uniform(0.0, psf_ellip, size=C)
+        pangs = rng.uniform(0, np.pi, size=C)
+    else:
+        ells = np.zeros(C)
+        pangs = np.zeros(C)
     psfs = np.stack([_gaussian_psf(s, 21, e, a)
                      for s, e, a in zip(sigmas, ells, pangs)])
 
@@ -131,7 +137,7 @@ def generate_blend(rng, shape=(5, 58, 48), n_sources=None, min_sep=5.0,
             radius = float(rng.uniform(1.0, 4.0))
             q = float(rng.uniform(0.4, 1.0))
             angle = float(rng.uniform(0, np.pi))
-            spergel = rng.random() < spergel_frac
+            spergel = spergel_frac > 0 and rng.random() < spergel_frac
             kind = "exp" if rng.random() < 0.6 else "gauss"
             size = min(2 * int(4 * radius) + 21, 2 * min(H, W) - 1)
             if spergel:

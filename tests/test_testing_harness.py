@@ -30,6 +30,37 @@ class TestBlendSets:
                                                             allow_pickle=True)
             np.testing.assert_array_equal(da["images"], db["images"])
 
+    def test_generation_is_rng_stable(self):
+        """The first blend of every generated set reproduces its pinned
+        checksum: the committed baselines were recorded against exactly
+        these pixels, and the set cache is ephemeral — ANY change to the
+        generator's rng consumption order (even a knob drawn-but-unused
+        at its default) silently invalidates sets 4-7 against their
+        baselines.  Regression: the set-8 realism knobs originally drew
+        PSF angles and the Spergel gate unconditionally."""
+        import hashlib
+
+        from scarlet_tpu.testing.blendsets import generate_blend, \
+            _SET_PARAMS
+
+        expected = {
+            4: "1236ef6cf13eecc2",
+            5: "a0b9b8325b8365bf",
+            6: "04a5a995a0a61703",
+            7: "2417724f318b5629",
+            8: "0e246726eb5f757e",
+        }
+        for sid, want in expected.items():
+            rng = np.random.default_rng(1000 + sid)
+            params = dict(_SET_PARAMS.get(sid, {}))
+            n_range = params.pop("n_range", None)
+            n_sources = int(rng.integers(*n_range)) if n_range else None
+            blend = generate_blend(rng, n_sources=n_sources, **params)
+            got = hashlib.sha256(
+                np.ascontiguousarray(blend["images"]).tobytes()
+            ).hexdigest()[:16]
+            assert got == want, f"set {sid} generator drifted"
+
     def test_blend_contents(self, small_set):
         _, paths = small_set
         data = np.load(paths[0], allow_pickle=True)
