@@ -108,6 +108,20 @@ class LiteFitConfig:
     # fallback.  Measure before use (BASELINE r4).
     mono_tol_early: float = 0.0
     mono_tol_switch: int = 0
+    # run the FULL monotonicity projection only every N-th iteration: on
+    # skip iterations the traced tolerance is set huge, so the kernel
+    # exits after its first 4-pass block (~4/depth of the work) while the
+    # rest of the prox chain (threshold/floor/normalization) still runs.
+    # Convergence freezing only fires on full-projection iterations, so
+    # every frozen blend's final morph is exactly projected.  NOT
+    # reference semantics (the reference projects every iteration, ref
+    # lite/models.py:224-244).  MEASURED NEGATIVE (BASELINE r4): the
+    # partially-projected flux of a skip iteration is clamped away by the
+    # next full projection, so the fit zigzags — hsc_cosmos_35 trajectory
+    # at N=2 reaches only -11,820 by iteration 100 vs -8,618.8 exact
+    # (trajectory-level, backend-independent; a ~0.52x/iter cost cut
+    # cannot buy back >2x the iterations).  Keep 1.
+    mono_every: int = 1
     # in-program logical box growth (the reference's edge-pull test, ref
     # morphology.py:160-207, reformulated for static shapes): when the
     # next Adam update would pull flux onto a component's logical box
@@ -557,13 +571,20 @@ def _grow_update(config, b, mb_view, m_view, v_view, base_h, box_half,
 def _mono_tol_arr(config, it):
     """Traced tolerance for the scheduled mono exit (None = static
     ``config.mono_tol`` alone).  Per blend: the looser ``mono_tol_early``
-    before iteration ``mono_tol_switch``, ``mono_tol`` after."""
+    before iteration ``mono_tol_switch``, ``mono_tol`` after; with
+    ``mono_every > 1``, skip iterations (``it % mono_every != 0``) get a
+    huge tolerance so the kernel exits after one pass block."""
+    tol = None
     if (config.mono_tol_switch > 0
             and config.mono_tol_early > config.mono_tol
             and it is not None):
-        return jnp.where(it < config.mono_tol_switch,
-                         config.mono_tol_early, config.mono_tol)
-    return None
+        tol = jnp.where(it < config.mono_tol_switch,
+                        config.mono_tol_early, config.mono_tol)
+    if config.mono_every > 1 and it is not None:
+        base = config.mono_tol if tol is None else tol
+        # morphs are unit-peak, so 1e6 exceeds any possible |delta|
+        tol = jnp.where(it % config.mono_every == 0, base, 1e6)
+    return tol
 
 
 # ---------------------------------------------------------------------------
@@ -1019,6 +1040,10 @@ def fit_step(state, data, config):
     converged = (it > min_it) & (
         jnp.abs(logL - state.last_loss) < config.e_rel * jnp.abs(logL)
     )
+    if config.mono_every > 1:
+        # only freeze on full-projection iterations: a blend must never
+        # stop with a skip iteration's loosely-projected morph
+        converged = converged & (it % config.mono_every == 0)
     new_active = active & ~converged
 
     new_state = BlendState(

@@ -518,7 +518,8 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  platform=None, use_mask=False, recipe="main", grow=5,
                  wavelet_scales=5, bulge_scales=2, use_psf=True,
                  max_peaks=None, detect_scales=3, box_grow=None,
-                 mono_tol=None, mono_tol_early=0.0, mono_tol_switch=0):
+                 mono_tol=None, mono_tol_early=0.0, mono_tol_switch=0,
+                 mono_every=1):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -698,6 +699,10 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         # program — the tolerance is a traced SMEM scalar).  0/0 = off.
         mono_tol_early=float(mono_tol_early),
         mono_tol_switch=int(mono_tol_switch),
+        # full projection every N-th iteration only (skip iterations run
+        # one 4-pass block via a huge traced tol); MEASURED NEGATIVE —
+        # the fit zigzags and converges far slower (BASELINE r4); keep 1
+        mono_every=int(mono_every),
         use_pallas=platform != "cpu",
         use_pallas_scene=platform != "cpu",
         conv_mode="dft" if platform != "cpu" else "fft",

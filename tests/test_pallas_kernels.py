@@ -131,6 +131,60 @@ def test_engine_scheduled_mono_tol():
         assert int(out_s.it) >= 8
 
 
+def test_engine_mono_every():
+    """mono_every=N (full projection every N-th iteration): the default 1
+    must leave the traced tolerance off, skip iterations must get the
+    huge tolerance (kernel exits after one pass block), and the fit must
+    land near the exact-projection solution with every frozen blend
+    stopping on a full-projection iteration."""
+    import dataclasses
+    import __graft_entry__ as g
+
+    config, data, state = g._demo_setup()
+    # traced-tol gating
+    cfg2 = dataclasses.replace(config, mono_every=2)
+    assert engine._mono_tol_arr(config, jnp.asarray(5)) is None
+    arr = engine._mono_tol_arr(cfg2, jnp.asarray(4))
+    assert float(arr) == cfg2.mono_tol
+    assert float(engine._mono_tol_arr(cfg2, jnp.asarray(5))) == 1e6
+
+    # a skip iteration's kernel == exactly one 4-pass Jacobi block
+    rng = np.random.RandomState(7)
+    box = (21, 21)
+    K = 4
+    weights, keeps, n_iter = engine.monotonicity_tables(
+        box, fit_center_radius=1, neighbor_weight="angle")
+    morphs = rng.rand(K, *box).astype(np.float32)
+    idx = rng.randint(0, weights.shape[0], size=(K,)).astype(np.int32)
+    skip = np.asarray(batched_monotonic_prox(
+        jnp.asarray(morphs), jnp.asarray(idx),
+        jnp.asarray(weights.astype(np.float32)), jnp.asarray(keeps),
+        n_iter, interpret=True, tol_arr=jnp.asarray(1e6)))
+    from scarlet_tpu.ops.arrays import shift_zero
+    w = weights.astype(np.float32)[idx]
+    keep = keeps[idx] > 0.5
+    x = jnp.asarray(morphs)
+    for _ in range(4):
+        ref = jnp.zeros_like(x)
+        for d, (dy, dx) in enumerate(prox_ops.NEIGHBOR_OFFSETS):
+            ref = ref + w[:, d] * shift_zero(x, dy, dx)
+        x = jnp.where(keep, jnp.asarray(morphs),
+                      jnp.minimum(jnp.asarray(morphs), ref))
+    # the kernel factorizes the neighbor sum by x-offset, so the
+    # summation order differs from this reference at f32 roundoff
+    assert_allclose(skip, np.asarray(x), rtol=1e-5, atol=1e-6)
+
+    # whole fit: mono_every=2 lands near the exact solution
+    for extra in ({}, {"packed_morphs": True, "use_pallas_scene": True}):
+        cfg = dataclasses.replace(config, use_pallas=True,
+                                  pallas_interpret=True, **extra)
+        out_b, loss_b = engine.fit_scan(state, data, cfg, 20)
+        out_e, loss_e = engine.fit_scan(
+            state, data, dataclasses.replace(cfg, mono_every=2), 20)
+        lb, le = np.asarray(loss_b)[-1], np.asarray(loss_e)[-1]
+        assert abs(le - lb) / abs(lb) < 1e-2
+
+
 def test_engine_pallas_interpret_matches_xla():
     """Whole fit step with use_pallas(+interpret) equals the XLA path."""
     import dataclasses
