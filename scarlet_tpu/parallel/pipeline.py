@@ -317,8 +317,8 @@ class BlendPipeline:
 
         # phase 4: scatter results back for write-back + measurement
         def sub(i):
-            return jax.tree.map(lambda x: x[i], out,
-                                is_leaf=lambda x: x is None)
+            return jax.tree.map(lambda x: None if x is None else x[i],
+                                out, is_leaf=lambda x: x is None)
 
         items = [(i, sub(i), losses[:, i]) for i in range(len(blobs))]
         records = [None] * len(blobs)
