@@ -340,6 +340,34 @@ class TestStreamInit:
         # padded retry rows (16-row bucket) carry no active slots
         assert not np.any(np.asarray(state[1].comp_active[0][1:]))
 
+    def test_overflow_retry_with_redetect(self, hsc):
+        """redetect and retry_overflow compose: the retry lane runs once,
+        on the FINAL catalog, and the redetect aux rewrite indexes the
+        retry entry by retry_indices (one catalog row per retried blend,
+        not the padded retry batch)."""
+        recs, state, losses, aux = stream.deblend_device_stream(
+            hsc["images"][None], hsc["variance"][None], hsc["psfs"][None],
+            np.asarray(hsc["centers"])[None], hsc["model_psf"],
+            box_size=59, n_slots=4, max_iter=6, check_every=6,
+            redetect=1, retry_overflow=True)
+        assert isinstance(aux, list) and len(aux) == 2
+        retry = aux[1]
+        ri = np.asarray(retry["retry_indices"])
+        assert ri.tolist() == [0]
+        # surfaced catalogs: the main entry carries the final catalog for
+        # its chunk rows, the retry entry only the retried blends' rows
+        assert np.asarray(aux[0]["centers"]).shape[0] == 1
+        assert np.asarray(retry["centers"]).shape[0] == ri.size
+        assert np.asarray(retry["center_active"]).shape[0] == ri.size
+        rec = recs[0]
+        assert rec["overflow"] and rec["overflow_retried"]
+        # the retry layout holds every final-catalog source: each active
+        # catalog row owns at least one live slot in the retry state
+        act = np.asarray(retry["center_active"])[0]
+        slotted = np.unique(np.asarray(retry["slot_source"][0])[
+            np.asarray(state[-1].comp_active[0][0])])
+        assert set(np.nonzero(act)[0].tolist()) <= set(slotted.tolist())
+
     def test_overflow_retry_noop_when_no_overflow(self, hsc):
         """With enough slots the retry lane is a no-op: unchanged return
         contract (no extra chunk entry), no record flags."""
