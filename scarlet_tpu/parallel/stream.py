@@ -146,13 +146,25 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
                     n_slots, fft_shape, match_shape, psf_fft_shape,
                     mono_iter, min_snr, thresh, percentile, use_mask,
                     recipe="main", grow=5, n_scales=5, bulge_scales=2,
-                    use_psf=True):
+                    use_psf=True, stage="full"):
     """Initialize ONE blend (vmapped over the batch by stream_setup).
 
     Returns per-blend (data_leaves, state_leaves, aux) with slot-packed
     arrays at the shared (S, n_slots) layout.
+
+    ``stage`` truncates the program at a named checkpoint for phase
+    profiling (tools/init_phase_profile.py): "coadd" | "kernels" |
+    "convolved" | "percenter" | "seds" | "full".  Truncated stages return
+    ``(dict(probe=scalar), {}, {})`` where the scalar sums every computed
+    array so XLA cannot dead-code-eliminate the stage under test.
     """
     C, H, W = images.shape
+
+    def _probe(*arrays):
+        s = jnp.zeros((), images.dtype)
+        for a in arrays:
+            s = s + jnp.sum(jnp.real(a)).astype(images.dtype)
+        return dict(probe=s), dict(), dict()
     hS = S // 2
     dtype = images.dtype
     tiny = jnp.asarray(1e-20, dtype)
@@ -180,6 +192,8 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
     else:
         detect = (jnp.sum(images / (noise_rms ** 2)[:, None, None], 0)
                   * scene_valid)                                   # (H,W)
+    if stage == "coadd":
+        return _probe(noise_rms, detect)
 
     # difference kernel (fft.match_psf semantics: k-space ratio at the
     # PSF-matching shape, kernel image at the PSF shape) and its rFFTs at
@@ -190,6 +204,8 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
     kernel_rfft = fft_ops.transform(kimage, fft_shape, (-2, -1))
     grad_kernel_rfft = fft_ops.transform(kimage[..., ::-1, ::-1], fft_shape,
                                          (-2, -1))
+    if stage == "kernels":
+        return _probe(detect, kernel_rfft, grad_kernel_rfft)
 
     # detection image convolved to each band's seeing (for peak SEDs)
     convolved = fft_ops.convolve_fft(
@@ -214,6 +230,8 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
     psf_morph = jnp.zeros((S, S), dtype).at[oy:oy + ch, ox:ox + cw].set(
         mp_crop / jnp.maximum(jnp.max(mp_crop), tiny))
     psf_box_mask = jnp.zeros((S, S), dtype).at[oy:oy + ch, ox:ox + cw].set(1.0)
+    if stage == "convolved":
+        return _probe(convolved, psf_sed, psf_morph)
 
     # --- padded views for dynamic box extraction --------------------------
     dpad = jnp.pad(detect, hS)
@@ -326,10 +344,14 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
 
         (morph1, sed1, sed_fb, bm1, bulge, bmB, disk, bmD, split,
          psf_gate, null, snr) = jax.vmap(per_center)(cys, cxs)
+        if stage == "percenter":
+            return _probe(morph1, sed1, bulge, disk, snr)
 
         union_bm = jnp.maximum(bmB, bmD)
         bulge_sed, disk_sed = jax.vmap(fit_seds)(bulge, disk, union_bm,
                                                  cys, cxs)
+        if stage == "seds":
+            return _probe(morph1, sed1, bulge_sed, disk_sed)
 
         # components whose joint-SED solve is all-zero are dropped ("cut
         # bulge"/"cut disk", ref lite/initialization.py:371-381); both cut
@@ -433,9 +455,13 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
 
         (morph1, sed1, bmask, bulge, disk, split, fallback, snr) = jax.vmap(
             per_center)(cys, cxs)
+        if stage == "percenter":
+            return _probe(morph1, sed1, bmask, bulge, disk, snr)
 
         bulge_sed, disk_sed = jax.vmap(fit_seds)(bulge, disk, bmask,
                                                  cys, cxs)
+        if stage == "seds":
+            return _probe(morph1, sed1, bulge_sed, disk_sed)
 
         prim_morph = jnp.where(split[:, None, None], bulge, morph1)
         prim_sed = jnp.where(split[:, None], bulge_sed, sed1)
@@ -491,24 +517,155 @@ def _init_one_blend(images, variance, psfs, centers, center_on,
 @partial(jax.jit, static_argnames=(
     "S", "n_slots", "fft_shape", "match_shape", "psf_fft_shape",
     "mono_iter", "min_snr", "thresh", "percentile", "use_mask",
-    "recipe", "grow", "n_scales", "bulge_scales", "use_psf"))
+    "recipe", "grow", "n_scales", "bulge_scales", "use_psf", "stage"))
 def _stream_init_batch(images, variance, psfs, centers, center_on,
                        model_psf, scene_valid, mono_w8, mono_keep, *, S,
                        n_slots, fft_shape, match_shape, psf_fft_shape,
                        mono_iter, min_snr, thresh, percentile,
                        use_mask=False, recipe="main", grow=5, n_scales=5,
-                       bulge_scales=2, use_psf=True):
+                       bulge_scales=2, use_psf=True, stage="full"):
     one = partial(
         _init_one_blend, S=S, n_slots=n_slots, fft_shape=fft_shape,
         match_shape=match_shape, psf_fft_shape=psf_fft_shape,
         mono_iter=mono_iter, min_snr=min_snr, thresh=thresh,
         percentile=percentile, use_mask=use_mask, recipe=recipe, grow=grow,
-        n_scales=n_scales, bulge_scales=bulge_scales, use_psf=use_psf)
+        n_scales=n_scales, bulge_scales=bulge_scales, use_psf=use_psf,
+        stage=stage)
     return jax.vmap(
         lambda im, va, ps, ce, on, sv: one(im, va, ps, ce, on,
                                            model_psf, sv, mono_w8,
                                            mono_keep)
     )(images, variance, psfs, centers, center_on, scene_valid)
+
+
+@partial(jax.jit, static_argnames=(
+    "S", "n_slots", "fft_shape", "match_shape", "psf_fft_shape",
+    "mono_iter", "min_snr", "thresh", "percentile", "use_mask", "recipe",
+    "grow", "n_scales", "bulge_scales", "use_psf", "stage", "detect",
+    "max_peaks", "detect_scales", "box_grow_on"))
+def _stream_setup_program(images, variance, psfs, centers, center_active,
+                          scene_valid, weights, model_psf, w8, keep_c,
+                          fit_mono_w, fit_mono_keep, *, S, n_slots,
+                          fft_shape, match_shape, psf_fft_shape, mono_iter,
+                          min_snr, thresh, percentile, use_mask, recipe,
+                          grow, n_scales, bulge_scales, use_psf, stage,
+                          detect, max_peaks, detect_scales, box_grow_on):
+    """The ENTIRE device side of stream_setup as ONE compiled program:
+    sanitization, default weights, (optional) device detection, catalog
+    masking, the batched init, and the BlendData/BlendState assembly.
+
+    Why one program: the stream's init cost is DISPATCH-bound, not
+    compute-bound, on a tunneled TPU.  The r4 het phase profile charged
+    21% of het wall to "stream_setup" (0.138 s/chunk), but the truncation
+    profile (tools/init_phase_profile.py, r5) measured the init program's
+    pure device compute at ~12 ms/chunk — the rest was ~35 eager op
+    dispatches (sanitize, weights, catalog masking, optimizer-state
+    zeros), each paying a tunnel round trip that inflates 10-30x in bad
+    weather.  Fusing everything into one jit makes setup cost one
+    dispatch regardless of link health.
+    """
+    B, C, H, W = images.shape
+    dtype = images.dtype
+    has_valid = scene_valid is not None
+    if scene_valid is None:
+        scene_valid = jnp.ones((B, H, W), dtype)
+    else:
+        scene_valid = scene_valid.astype(dtype)
+    # Sanitize non-finite pixels (masked regions in real survey cutouts
+    # arrive as NaN/inf): a NaN data pixel poisons the whole fit even at
+    # weight 0 (0*NaN = NaN in the gradient), so bad pixels are zeroed,
+    # excluded from the weights, and given the per-band mean finite
+    # variance so the init-time noise estimates stay unbiased.  All of
+    # this is bitwise inert for finite inputs.
+    # negative variance is corrupt input too: sqrt(variance) in the init
+    # noise estimates would turn it into NaN (variance 0 stays legal —
+    # it is the heterogeneous-crop padding convention)
+    images, variance, bad = _sanitize_stacks(images, variance)
+    if weights is None:
+        # padding pixels of zero-padded heterogeneous crops have
+        # variance 0: without the scene_valid factor they would get
+        # weight 1e12 and the convolved model's leak past the true scene
+        # edge would dominate every gradient
+        weights = (scene_valid[:, None] * jnp.where(bad, 0.0, 1.0)
+                   / jnp.maximum(variance, 1e-12))
+    else:
+        weights = jnp.where(bad | ~jnp.isfinite(weights), 0.0, weights)
+
+    detected_peaks = None
+    if detect:
+        # device-side catalogs: the host starlet-footprint peak recipe
+        # (ref detect.py:517-572) on the sanitized stacks
+        from .detection import detect_peaks_device
+
+        centers, center_active, detected_peaks = detect_peaks_device(
+            images, variance, scene_valid if has_valid else None,
+            max_peaks=int(max_peaks), scales=int(detect_scales))
+    else:
+        if jnp.issubdtype(centers.dtype, jnp.floating):
+            centers = jnp.round(centers).astype(jnp.int32)
+        else:
+            centers = centers.astype(jnp.int32)
+        if center_active is None:
+            center_active = jnp.ones(centers.shape[:2], bool)
+    # Out-of-frame catalog rows (common when detections come from a larger
+    # field) and rows landing in the zero padding of heterogeneous crops
+    # would otherwise seed clamped edge sources that wreck the fit;
+    # deactivate them exactly like the host recipe's skip list
+    # (ref initialization.py:287-363 silently skips failed centers).
+    in_bounds = ((centers[..., 0] >= 0) & (centers[..., 0] < H)
+                 & (centers[..., 1] >= 0) & (centers[..., 1] < W))
+    cy = jnp.clip(centers[..., 0], 0, H - 1)
+    cx = jnp.clip(centers[..., 1], 0, W - 1)
+    on_valid = scene_valid[jnp.arange(B)[:, None], cy, cx] > 0
+    center_active = center_active & in_bounds & on_valid
+
+    data_l, state_l, aux = _stream_init_batch(
+        images, variance, psfs, centers, center_active, model_psf,
+        scene_valid, w8, keep_c, S=S, n_slots=n_slots,
+        fft_shape=fft_shape, match_shape=match_shape,
+        psf_fft_shape=psf_fft_shape, mono_iter=mono_iter, min_snr=min_snr,
+        thresh=thresh, percentile=percentile, use_mask=use_mask,
+        recipe=recipe, grow=grow, n_scales=n_scales,
+        bulge_scales=bulge_scales, use_psf=use_psf, stage=stage)
+    if stage != "full":
+        # phase-profiling truncation (tools/init_phase_profile.py): the
+        # probe scalar keeps every computed stage live through XLA DCE
+        return data_l, state_l, aux
+    if detected_peaks is not None:
+        aux = dict(aux, detected_peaks=detected_peaks, centers=centers,
+                   center_active=center_active)
+
+    data = engine.BlendData(
+        images=images,
+        weights=weights,
+        kernel_rfft=data_l["kernel_rfft"],
+        grad_kernel_rfft=data_l["grad_kernel_rfft"],
+        bg_rms=data_l["bg_rms"],
+        sed_step_min=data_l["sed_step_min"],
+        mono_weights=(fit_mono_w.astype(dtype),),
+        mono_keep=(fit_mono_keep.astype(dtype),),
+        box_masks=(data_l["box_masks"],),
+        scene_mask=scene_valid if has_valid else None,
+    )
+    zero_sed = jnp.zeros_like(state_l["seds"])
+    zero_mor = jnp.zeros_like(state_l["morphs"])
+    state = engine.BlendState(
+        seds=(state_l["seds"],),
+        morphs=(state_l["morphs"],),
+        origins=(state_l["origins"],),
+        comp_active=(state_l["comp_active"],),
+        sed_opt=(AdaproxState(m=zero_sed, v=zero_sed, vhat=zero_sed),),
+        morph_opt=(AdaproxState(m=zero_mor, v=zero_mor, vhat=zero_mor),),
+        active=jnp.ones((B,), bool),
+        it=jnp.zeros((B,), jnp.int32),
+        last_loss=jnp.full((B,), jnp.inf, dtype),
+        # box-growth state (config.box_grow): -1 = still the init box
+        box_half=None if not box_grow_on else (
+            jnp.full((B, n_slots), -1, jnp.int32),),
+        step_scale=None if not box_grow_on else (
+            jnp.ones((B, n_slots), dtype),),
+    )
+    return data, state, aux
 
 
 def stream_setup(images, variance, psfs, centers, model_psf,
@@ -519,7 +676,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  wavelet_scales=5, bulge_scales=2, use_psf=True,
                  max_peaks=None, detect_scales=3, box_grow=None,
                  mono_tol=None, mono_tol_early=0.0, mono_tol_switch=0,
-                 mono_every=1):
+                 mono_every=1, _stage="full"):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -570,109 +727,62 @@ def stream_setup(images, variance, psfs, centers, model_psf,
     `pack_blends` produces, plus per-blend diagnostics (``n_active``,
     ``overflow``, ``slot_source``, ``snr``, ``split``, ``psf_fallback``).
     """
-    images = jnp.asarray(images)
-    variance = jnp.asarray(variance)
-    psfs = jnp.asarray(psfs)
-    B, C, H, W = images.shape
+    B, C, H, W = np.shape(images)
     S = int(box_size)
     if S % 2 == 0:
         raise ValueError(f"box_size must be odd, got {S}")
-    model_psf = jnp.asarray(model_psf)
-    has_valid = scene_valid is not None
-    if scene_valid is None:
-        scene_valid = jnp.ones((B, H, W), images.dtype)
-    else:
-        scene_valid = jnp.asarray(scene_valid).astype(images.dtype)
-    # Sanitize non-finite pixels (masked regions in real survey cutouts
-    # arrive as NaN/inf): a NaN data pixel poisons the whole fit even at
-    # weight 0 (0*NaN = NaN in the gradient), so bad pixels are zeroed,
-    # excluded from the weights, and given the per-band mean finite
-    # variance so the init-time noise estimates stay unbiased.  All of
-    # this is bitwise inert for finite inputs.
-    # negative variance is corrupt input too: sqrt(variance) in the init
-    # noise estimates would turn it into NaN (variance 0 stays legal —
-    # it is the heterogeneous-crop padding convention)
-    images, variance, bad = _sanitize_stacks(images, variance)
-    if weights is None:
-        # padding pixels of zero-padded heterogeneous crops have
-        # variance 0: without the scene_valid factor they would get
-        # weight 1e12 and the convolved model's leak past the true scene
-        # edge would dominate every gradient
-        weights = (scene_valid[:, None] * jnp.where(bad, 0.0, 1.0)
-                   / jnp.maximum(variance, 1e-12))
-    else:
-        weights = jnp.asarray(weights)
-        weights = jnp.where(bad | ~jnp.isfinite(weights), 0.0, weights)
-
-    detected_peaks = None
-    if centers is None:
-        # device-side catalogs: the host starlet-footprint peak recipe
-        # (ref detect.py:517-572) on the sanitized stacks
-        from .detection import detect_peaks_device
-
-        if center_active is not None:
-            raise ValueError(
-                "center_active only applies to a provided catalog; "
-                "with centers=None the detector defines the active rows")
-        centers, center_active, detected_peaks = detect_peaks_device(
-            images, variance, scene_valid if has_valid else None,
-            max_peaks=int(n_slots if max_peaks is None else max_peaks),
-            scales=int(detect_scales))
-    else:
-        centers = jnp.asarray(np.round(np.asarray(centers)), jnp.int32)
-        if center_active is None:
-            center_active = jnp.ones(centers.shape[:2], bool)
-        else:
-            center_active = jnp.asarray(center_active, bool)
-    # Out-of-frame catalog rows (common when detections come from a larger
-    # field) and rows landing in the zero padding of heterogeneous crops
-    # would otherwise seed clamped edge sources that wreck the fit;
-    # deactivate them exactly like the host recipe's skip list
-    # (ref initialization.py:287-363 silently skips failed centers).
-    in_bounds = ((centers[..., 0] >= 0) & (centers[..., 0] < H)
-                 & (centers[..., 1] >= 0) & (centers[..., 1] < W))
-    cy = jnp.clip(centers[..., 0], 0, H - 1)
-    cx = jnp.clip(centers[..., 1], 0, W - 1)
-    on_valid = scene_valid[jnp.arange(B)[:, None], cy, cx] > 0
-    center_active = center_active & in_bounds & on_valid
+    if recipe not in ("main", "wavelets"):
+        raise ValueError(f"unknown recipe {recipe!r}")
+    detect = centers is None
+    if detect and center_active is not None:
+        raise ValueError(
+            "center_active only applies to a provided catalog; "
+            "with centers=None the detector defines the active rows")
+    if not detect and not isinstance(centers, jnp.ndarray):
+        # host catalogs round on host (device ones round inside the
+        # program — never ship a device array back just to round it)
+        centers = np.round(np.asarray(centers)).astype(np.int32)
 
     if fft_shape is None:
         fft_shape = fft_ops.minimal_same_fft_shape(
-            (C, H, W), psfs.shape[1:], axes=(1, 2))
+            (C, H, W), np.shape(psfs)[1:], axes=(1, 2))
     match_shape = tuple(fft_ops.good_fft_shape(
-        psfs.shape[1:], model_psf.shape, padding=3, axes=(-2, -1)))
+        np.shape(psfs)[1:], np.shape(model_psf), padding=3, axes=(-2, -1)))
     psf_fft_shape = tuple(fft_ops.good_fft_shape(
-        model_psf.shape, psfs.shape[1:], padding=3, axes=(-2, -1)))
+        np.shape(model_psf), np.shape(psfs)[1:], padding=3, axes=(-2, -1)))
 
-    dtype = np.dtype(images.dtype)
+    dtype = np.dtype(getattr(images, "dtype", np.float32))
     w8, keep_c, depth = _centered_mono_table(S, dtype)
 
-    if recipe not in ("main", "wavelets"):
-        raise ValueError(f"unknown recipe {recipe!r}")
     # scale count capped by the PHYSICAL (H, W) exactly like the host caps
     # by its natural image shape (wavelet.get_scales)
     from ..ops.wavelet import get_scales
 
     n_scales = get_scales((H, W), int(wavelet_scales))
 
-    data_l, state_l, aux = _stream_init_batch(
-        images, variance, psfs, centers, center_active, model_psf,
-        scene_valid, jnp.asarray(w8), jnp.asarray(keep_c), S=S,
-        n_slots=int(n_slots),
+    mono_w, mono_keep, fit_depth = engine.monotonicity_tables(
+        (S, S), 1, "angle")
+
+    out = _stream_setup_program(
+        images, variance, psfs, centers, center_active, scene_valid,
+        weights, model_psf, w8, keep_c, mono_w.astype(dtype),
+        mono_keep.astype(dtype), S=S, n_slots=int(n_slots),
         fft_shape=tuple(fft_shape), match_shape=match_shape,
-        psf_fft_shape=psf_fft_shape, mono_iter=depth, min_snr=float(min_snr),
-        thresh=float(thresh), percentile=float(percentile),
-        use_mask=bool(use_mask), recipe=str(recipe), grow=int(grow),
-        n_scales=int(n_scales), bulge_scales=int(bulge_scales),
-        use_psf=bool(use_psf))
-    if detected_peaks is not None:
-        aux = dict(aux, detected_peaks=detected_peaks, centers=centers,
-                   center_active=center_active)
+        psf_fft_shape=psf_fft_shape, mono_iter=depth,
+        min_snr=float(min_snr), thresh=float(thresh),
+        percentile=float(percentile), use_mask=bool(use_mask),
+        recipe=str(recipe), grow=int(grow), n_scales=int(n_scales),
+        bulge_scales=int(bulge_scales), use_psf=bool(use_psf),
+        stage=str(_stage), detect=bool(detect),
+        max_peaks=int(n_slots if max_peaks is None else max_peaks),
+        detect_scales=int(detect_scales),
+        box_grow_on=box_grow is not None)
+    if _stage != "full":
+        return out
+    data, state, aux = out
 
     if platform is None:
         platform = jax.devices()[0].platform
-    mono_w, mono_keep, fit_depth = engine.monotonicity_tables(
-        (S, S), 1, "angle")
     config = engine.LiteFitConfig(
         scene_shape=(C, H, W),
         box_shapes=((S, S),),
@@ -708,37 +818,6 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         conv_mode="dft" if platform != "cpu" else "fft",
         scene_pad=S // 2 + 2,
         packed_morphs=platform != "cpu",
-    )
-
-    data = engine.BlendData(
-        images=images,
-        weights=weights,
-        kernel_rfft=data_l["kernel_rfft"],
-        grad_kernel_rfft=data_l["grad_kernel_rfft"],
-        bg_rms=data_l["bg_rms"],
-        sed_step_min=data_l["sed_step_min"],
-        mono_weights=(jnp.asarray(mono_w.astype(dtype)),),
-        mono_keep=(jnp.asarray(mono_keep.astype(dtype)),),
-        box_masks=(data_l["box_masks"],),
-        scene_mask=scene_valid if has_valid else None,
-    )
-    zero_sed = jnp.zeros_like(state_l["seds"])
-    zero_mor = jnp.zeros_like(state_l["morphs"])
-    state = engine.BlendState(
-        seds=(state_l["seds"],),
-        morphs=(state_l["morphs"],),
-        origins=(state_l["origins"],),
-        comp_active=(state_l["comp_active"],),
-        sed_opt=(AdaproxState(m=zero_sed, v=zero_sed, vhat=zero_sed),),
-        morph_opt=(AdaproxState(m=zero_mor, v=zero_mor, vhat=zero_mor),),
-        active=jnp.ones((B,), bool),
-        it=jnp.zeros((B,), jnp.int32),
-        last_loss=jnp.full((B,), jnp.inf, images.dtype),
-        # box-growth state (config.box_grow): -1 = still the init box
-        box_half=None if box_grow is None else (
-            jnp.full((B, int(n_slots)), -1, jnp.int32),),
-        step_scale=None if box_grow is None else (
-            jnp.ones((B, int(n_slots)), images.dtype),),
     )
     return config, data, state, aux
 
