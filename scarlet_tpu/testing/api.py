@@ -35,13 +35,21 @@ _BUNDLED = {
     3: ["psf_unmatched_sim.npz"],
 }
 _GENERATED = {4: 50, 5: 14, 6: 100, 7: 25,   # 7: very crowded (beyond ref)
-              8: 50}   # 8: Spergel profiles + elliptical PSFs +
-#                           correlated noise (realism, blendsets.py)
+              8: 50,   # 8: Spergel profiles + elliptical PSFs +
+              #           correlated noise (realism, blendsets.py)
+              9: 50}   # 9: injected fakes on REAL HSC-COSMOS pixels —
+#                           the curated sets' own recipe
+#                           (ref docs/regression.rst:4-12)
 
 
 def bundled_blends(set_id, root=None):
     """Paths of the blends in a set (generating synthetic sets on first
     use)."""
+    if set_id == 9:
+        from .blendsets import generate_real_blend_set
+
+        return generate_real_blend_set(set_id, n=_GENERATED[set_id],
+                                       root=root)
     if set_id in _GENERATED:
         from .blendsets import generate_blend_set
 

@@ -88,6 +88,12 @@ def _truth_diff(rec, row, channels, flux):
     names = [f"intensity_{c}" for c in channels]
     if row is not None and all(n in (row.dtype.names or ()) for n in names):
         truth = np.array([row[n].sum() for n in names])
+        # rows WITHOUT truth (all-zero/non-finite intensity images: the
+        # real-sky sources of set 9, whose true flux is unknown) are
+        # unscored for photometry, like the curated sets score only the
+        # injected fake
+        if not np.all(np.isfinite(truth)) or truth.sum() <= 0:
+            return
         diff = mag_diff(truth, flux)
         for c, d in zip(channels, diff):
             rec[f"{c} diff"] = float(d)
