@@ -242,6 +242,16 @@ class Blend(CombinedComponent):
                             jnp.asarray(self.loss[-1]) if self.loss
                             else jnp.asarray(jnp.inf),
                             jnp.asarray(e_rel), jnp.asarray(min_iter), n)
+                    # ONE bulk fetch per segment boundary: every host-side
+                    # consumer below (loss bookkeeping, _sync write-back,
+                    # check_parameters, src.update() box logic) then works
+                    # on numpy with zero further device round trips — on a
+                    # remote TPU the per-value eager fetches otherwise
+                    # dominate the boundary (same dispatch-bound finding
+                    # as parallel/stream.py stream_setup, r5)
+                    free_vals, opt_states, losses, n_done, active = \
+                        jax.device_get((free_vals, opt_states, losses,
+                                        n_done, active))
                     n_exec = int(n_done)
                     self.loss.extend(np.asarray(losses[:n_exec]).tolist())
                     it += n_exec

@@ -75,7 +75,11 @@ class Parameter:
 
     @property
     def is_finite(self):
-        return bool(jnp.isfinite(self.value).all())
+        # numpy, not jnp: this runs host-side between fit segments, and an
+        # eager device op here costs a tunnel round trip per parameter on
+        # a remote TPU (np.asarray on a device value is one fetch; values
+        # are already host numpy between segments — Blend._sync)
+        return bool(np.all(np.isfinite(np.asarray(self.value))))
 
     # -- state management -------------------------------------------------
     def set(self, value):
