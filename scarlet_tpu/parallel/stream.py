@@ -35,6 +35,8 @@ Algorithm parity notes (vs scarlet/lite/initialization.py):
 """
 from __future__ import annotations
 
+import logging
+import time
 from functools import partial
 
 import numpy as np
@@ -50,6 +52,21 @@ from ..lite import engine
 from ..initialization import get_minimal_boxsize
 
 __all__ = ["stream_setup", "stream_records", "deblend_device_stream"]
+
+logger = logging.getLogger("scarlet_tpu.parallel.stream")
+
+
+def _upload_bandwidth_mbs(nbytes=4 << 20):
+    """Idle host->device bandwidth (MB/s) from one probe transfer (the
+    second of two: the first pays any one-time stream setup).  Used by
+    ``deblend_device_stream(upload="auto")`` — a tunneled TPU's link
+    varies ~40x between sessions (BASELINE r3/r4), so the upload
+    strategy is worth one 4 MB measurement."""
+    buf = np.zeros(nbytes, np.uint8)
+    jax.device_put(buf[: 1 << 16]).block_until_ready()
+    t0 = time.perf_counter()
+    jax.device_put(buf).block_until_ready()
+    return nbytes / max(time.perf_counter() - t0, 1e-9) / 1e6
 
 
 def _centered_mono_table(S, dtype=np.float32):
@@ -995,6 +1012,7 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
                           n_slots, max_iter=100, check_every=25,
                           min_snr=50, e_rel=1e-4, reweight=False,
                           chunk=None, compact=None, upload_dtype=None,
+                          upload="bulk", upload_bw_mbs=100.0,
                           redetect=0, redetect_radius=3.0,
                           retry_overflow=False,
                           **kw):
@@ -1017,6 +1035,15 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
     land while a fit program is executing crawl at ~1-5% of idle-device
     bandwidth on a tunneled TPU (measured: 17 vs 680 MB/s), which costs
     ~35% of end-to-end throughput if the upload is interleaved per chunk.
+
+    ``upload`` picks the transfer strategy for host-resident stacks:
+    ``"bulk"`` (default, above), ``"overlap"`` (per-chunk double-buffered
+    device_put — chunk ``i+1``'s transfer is in flight while chunk ``i``
+    fits; wins when the LINK is the bottleneck: the r4 driver capture
+    paid a 4.4 s bulk upload strictly ahead of 1.3 s of compute), or
+    ``"auto"`` (one 4 MB idle-bandwidth probe, then overlap below
+    ``upload_bw_mbs`` MB/s and bulk above).  Device-resident inputs and
+    single-chunk calls ignore it.
 
     ``upload_dtype`` (e.g. ``jnp.bfloat16``) quantizes the raw host
     stacks (images/variance/psfs/weights/masks) to that dtype for the
@@ -1098,17 +1125,37 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
             x = x.astype(qdtype)
         return jax.device_put(x)
 
-    images = put(images)
-    variance = put(variance)
-    psfs = put(psfs)
-    weights = put(weights)
-    scene_valid = put(scene_valid)
-
-    B = images.shape[0]
+    B = np.shape(images)[0]
     if chunk is None or chunk >= B:
         spans = [slice(0, B)]
     else:
         spans = [slice(i, min(i + chunk, B)) for i in range(0, B, chunk)]
+
+    # upload strategy for host-resident stacks ("bulk"/"overlap"/"auto"):
+    # bulk = ONE async transfer up front (default: interleaved transfers
+    # that land while a fit executes crawl at ~1-5% of idle bandwidth on
+    # a HEALTHY tunnel, BASELINE r3 finding 1-2); overlap = per-chunk
+    # double-buffered device_put, chunk i+1's transfer in flight while
+    # chunk i fits (wins when the LINK is the bottleneck: r4 capture had
+    # a 4.4 s bulk upload strictly ahead of 1.3 s of compute); auto =
+    # probe the idle link once and pick (threshold ``upload_bw_mbs``).
+    if upload not in ("bulk", "overlap", "auto"):
+        raise ValueError(f"unknown upload mode {upload!r}")
+    mode = upload
+    if isinstance(images, jnp.ndarray) or len(spans) == 1:
+        mode = "bulk"
+    elif mode == "auto":
+        bw = _upload_bandwidth_mbs()
+        mode = "overlap" if bw < float(upload_bw_mbs) else "bulk"
+        logger.info("deblend_device_stream: measured %.1f MB/s idle "
+                    "upload -> %s uploads", bw, mode)
+
+    if mode == "bulk":
+        images = put(images)
+        variance = put(variance)
+        psfs = put(psfs)
+        weights = put(weights)
+        scene_valid = put(scene_valid)
 
     def sub(x, sl):
         if x is None:
@@ -1120,6 +1167,22 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
             y = y.astype(jnp.float32)
         return y
 
+    def sub_up(x, sl):
+        # overlap mode: slice on host, launch the (async) transfer now —
+        # it proceeds while the previous chunk's fit program executes
+        if x is None:
+            return None
+        d = put(np.asarray(x)[sl])
+        if qdtype is not None and d.dtype == qdtype:
+            d = d.astype(jnp.float32)
+        return d
+
+    def chunk_args(sl):
+        get = sub if mode == "bulk" else sub_up
+        return (get(images, sl), get(variance, sl), get(psfs, sl),
+                sub(centers, sl), get(weights, sl),
+                sub(center_active, sl), get(scene_valid, sl))
+
     if compact is None:
         points = ()
     elif np.isscalar(compact):
@@ -1130,15 +1193,17 @@ def deblend_device_stream(images, variance, psfs, centers, model_psf,
         raise ValueError(f"compact points must be positive, got {compact}")
     phase1 = points[0] if points else max_iter
     handles = []
-    for sl in spans:
+    pre = chunk_args(spans[0])
+    for i in range(len(spans)):
+        c_im, c_var, c_psf, c_cen, c_w, c_ca, c_sv = pre
         config, data, state, aux = stream_setup(
-            sub(images, sl), sub(variance, sl), sub(psfs, sl),
-            sub(centers, sl), model_psf, weights=sub(weights, sl),
-            center_active=sub(center_active, sl),
-            scene_valid=sub(scene_valid, sl), box_size=box_size,
+            c_im, c_var, c_psf, c_cen, model_psf, weights=c_w,
+            center_active=c_ca, scene_valid=c_sv, box_size=box_size,
             n_slots=n_slots, min_snr=min_snr, e_rel=e_rel, **kw)
         handle = fit_batch_device_dispatch(
             state, data, config, phase1, check_every=check_every)
+        if i + 1 < len(spans):
+            pre = chunk_args(spans[i + 1])
         handles.append((handle, data, config, aux))
 
     if points and phase1 < max_iter:

@@ -775,3 +775,41 @@ class TestSanitization:
         assert np.isfinite(recs[0]["logL"]) and np.isfinite(recs[1]["logL"])
         flux1 = np.asarray(recs[1]["flux"])
         assert np.all((flux1 == 0) | np.isnan(flux1))
+
+
+class TestUploadModes:
+    """upload="bulk"/"overlap"/"auto" must be bitwise-identical routes to
+    the same programs (the strategy only changes WHEN transfers happen;
+    stream.py deblend_device_stream)."""
+
+    def test_upload_modes_bitwise(self):
+        rng = np.random.RandomState(0)
+        B, C, H, W = 8, 3, 32, 32
+        psf = lite.integrated_circular_gaussian(sigma=1.2).astype(np.float32)
+        psfs = np.repeat(np.repeat(psf[None], C, 0)[None], B, 0)
+        variance = np.full((B, C, H, W), 1e-2, np.float32)
+        images = rng.randn(B, C, H, W).astype(np.float32) * 0.05
+        ph = psf.shape[0] // 2
+        images[:, :, 16 - ph:16 + ph + 1, 16 - ph:16 + ph + 1] += psf * 3.0
+        centers = np.tile(np.asarray([[16, 16]], np.int32), (B, 1, 1))
+        mp = lite.integrated_circular_gaussian(
+            sigma=0.6)[None].astype(np.float32)
+
+        outs = {}
+        for mode in ("bulk", "overlap", "auto"):
+            rec, _, _, _ = parallel.deblend_device_stream(
+                images, variance, psfs, centers, mp, box_size=15,
+                n_slots=2, max_iter=6, check_every=3, chunk=3, upload=mode)
+            outs[mode] = np.asarray([r["logL"] for r in rec])
+        assert np.array_equal(outs["bulk"], outs["overlap"])
+        assert np.array_equal(outs["bulk"], outs["auto"])
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError, match="upload mode"):
+            parallel.deblend_device_stream(
+                np.zeros((2, 1, 16, 16), np.float32),
+                np.ones((2, 1, 16, 16), np.float32),
+                np.ones((2, 1, 5, 5), np.float32) / 25.0,
+                np.zeros((2, 1, 2), np.int32),
+                np.ones((1, 5, 5), np.float32) / 25.0,
+                box_size=15, n_slots=1, upload="stream")
