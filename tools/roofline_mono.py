@@ -70,7 +70,9 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)), float(np.min(ts)), float(np.max(ts))
 
-    counts = [8, 24, 56, 88]
+    # large spread: the standalone-call floor (~26 ms: tunnel dispatch +
+    # sync) dwarfs the per-pass cost, so the slope needs a wide lever arm
+    counts = [8, 88, 200, 352]
     med = {}
     rows = []
     for n in counts:
@@ -103,8 +105,11 @@ def main():
     # v5e VPU: (8,128) lanes x 4 ALUs at 940 MHz
     vpu_peak = 8 * 128 * 4 * 0.94e9
 
+    # production mono runs INSIDE the fused fit program (no standalone
+    # dispatch floor), so the implied executed pass count divides by the
+    # slope alone
     prod_call_s = args.prod_ms_per_iter / 1e3 / B
-    implied_passes = (prod_call_s - ovh_call) / tau_call
+    implied_passes = prod_call_s / tau_call
 
     out = {
         "metric": "mono_kernel_roofline",
