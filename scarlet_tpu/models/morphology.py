@@ -15,16 +15,9 @@ from ..ops import fft as fft_ops
 from ..ops.special import kv
 from ..ops.wavelet import Starlet, starlet_reconstruction
 from .. import initialization as init
-from .constraint import (
-    ConstraintChain,
-    L0Constraint,
-    PositivityConstraint,
-    MonotonicityConstraint,
-    MonotonicMaskConstraint,
-    SymmetryConstraint,
-    CenterOnConstraint,
-    NormalizationConstraint,
-)
+from . import constraint as _constraint
+from .constraint import (ConstraintChain, L0Constraint,
+                         MonotonicMaskConstraint)
 from .frame import Frame
 from .model import Model, UpdateException
 from .parameter import Parameter, prepare_param, relative_step
@@ -54,30 +47,33 @@ class Morphology(Model):
     """Base class. Ref: scarlet/morphology.py:26-68."""
 
     def __init__(self, frame, *parameters, bbox=None):
-        assert isinstance(frame, Frame)
+        assert isinstance(frame, Frame), "frame must be a Frame"
         self.frame = frame
-        if bbox is None:
-            bbox = frame.bbox
-        assert isinstance(bbox, Box)
+        bbox = frame.bbox if bbox is None else bbox
+        assert isinstance(bbox, Box), "bbox must be a Box"
         self.bbox = bbox
         super().__init__(*parameters)
 
     def shrink_box(self, image, thresh=0):
-        """Peel zero borders down to the next box bucket (host-side).
+        """Shrink the box to the smallest bucket still containing every
+        above-threshold pixel, keeping the center fixed (host-side).
 
-        Ref: morphology.py:52-68.
+        Semantics of the reference's border-peeling loop
+        (morphology.py:52-68) as a single reduction: the number of clean
+        border rings equals the smallest border distance of any hot
+        pixel (capped at the half-size), because the loop stops exactly
+        when a ring first touches one.
         """
         image = np.asarray(image)
+        ny, nx = image.shape
         size = max(image.shape)
-        dist = 0
-        while (
-            dist < size // 2
-            and np.all(image[dist, :] <= thresh)
-            and np.all(image[-dist - 1, :] <= thresh)
-            and np.all(image[:, dist] <= thresh)
-            and np.all(image[:, -dist - 1] <= thresh)
-        ):
-            dist += 1
+        hot_i, hot_j = np.nonzero(image > thresh)
+        if hot_i.size:
+            border = np.minimum(np.minimum(hot_i, ny - 1 - hot_i),
+                                np.minimum(hot_j, nx - 1 - hot_j))
+            dist = min(int(border.min()), size // 2)
+        else:
+            dist = size // 2
         newsize = init.get_minimal_boxsize(size - 2 * dist)
         if newsize < size:
             dist = (size - newsize) // 2
@@ -92,17 +88,16 @@ class ImageMorphology(Morphology):
 
     def __init__(self, frame, image, bbox=None, shifting=False, shift=None,
                  resizing=True):
-        if isinstance(image, Parameter):
-            assert image.name == "image"
-        else:
+        if not isinstance(image, Parameter):
             image = Parameter(image, name="image", step=relative_step,
-                              constraint=PositivityConstraint())
+                              constraint=_constraint.PositivityConstraint())
+        assert image.name == "image", "image parameter must be named 'image'"
 
         if bbox is None:
-            assert frame.bbox[1:].shape == image.shape
+            assert frame.bbox[1:].shape == image.shape, \
+                "image must fill the frame when no bbox is given"
             bbox = Box(image.shape)
-        else:
-            assert bbox.shape == image.shape
+        assert bbox.shape == image.shape, "bbox/image shape mismatch"
 
         self.resizing = resizing
         self.shifting = shifting
@@ -111,11 +106,11 @@ class ImageMorphology(Morphology):
             shift = Parameter(jnp.zeros(2), name="shift", step=1e-2,
                               fixed=not self.shifting)
         else:
-            assert shift.shape == (2,)
+            assert np.shape(shift) == (2,), "shift must be (dy, dx)"
             if not isinstance(shift, Parameter):
                 shift = Parameter(shift, name="shift", step=1e-2)
-            else:
-                assert shift.name == "shift"
+            assert shift.name == "shift", \
+                "shift parameter must be named 'shift'"
 
         super().__init__(frame, image, shift, bbox=bbox)
 
@@ -409,9 +404,9 @@ class StarletMorphology(Morphology):
 
     def __init__(self, frame, image, bbox=None, monotonic=False, threshold=0):
         if bbox is None:
-            assert frame.bbox[1:].shape == image.shape
+            assert frame.bbox[1:].shape == image.shape, \
+                "image must fill the frame when no bbox is given"
             bbox = Box(image.shape)
-
         self.monotonic = monotonic
         self.transform = Starlet.from_image(image)
         coeffs = np.asarray(self.transform.coefficients)
@@ -422,7 +417,8 @@ class StarletMorphology(Morphology):
             thresh_array *= starlet_norm[:, None, None]
             thresh_array[-1] = 0
             constraint = ConstraintChain(
-                PositivityConstraint(0), L0Constraint(jnp.asarray(thresh_array))
+                _constraint.PositivityConstraint(0),
+                L0Constraint(jnp.asarray(thresh_array)),
             )
         else:
             center = tuple(s // 2 for s in bbox.shape)
@@ -481,24 +477,18 @@ class ExtendedSourceMorphology(ImageMorphology):
 
     def __init__(self, frame, center, image, bbox=None, monotonic="angle",
                  symmetric=False, min_grad=0, shifting=False, resizing=True):
-        constraints = []
-        if monotonic is True:
-            monotonic = "angle"
-        elif monotonic is False:
-            monotonic = None
-        if monotonic is not None:
-            constraints.append(
-                MonotonicityConstraint(neighbor_weight=monotonic,
-                                       min_gradient=min_grad)
-            )
+        # the reference's chain order is load-bearing (positivity AFTER the
+        # monotonic/symmetric projections, max-norm last)
+        monotonic = {True: "angle", False: None}.get(monotonic, monotonic)
+        chain = ([_constraint.MonotonicityConstraint(
+            neighbor_weight=monotonic, min_gradient=min_grad)]
+            if monotonic is not None else [])
         if symmetric:
-            constraints.append(SymmetryConstraint())
-        constraints += [
-            PositivityConstraint(),
-            CenterOnConstraint(),
-            NormalizationConstraint("max"),
-        ]
-        morph_constraint = ConstraintChain(*constraints)
+            chain.append(_constraint.SymmetryConstraint())
+        chain.extend((_constraint.PositivityConstraint(),
+                      _constraint.CenterOnConstraint(),
+                      _constraint.NormalizationConstraint("max")))
+        morph_constraint = ConstraintChain(*chain)
         image = Parameter(image, name="image", step=1e-2,
                           constraint=morph_constraint)
 
