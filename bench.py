@@ -297,11 +297,15 @@ def main():
         # one small residual batch) pay the cap tail (+23% measured).
         # retry_overflow: blends whose init wants more components than
         # n_slots re-fit at a larger slot count (no sources dropped)
+        # upload="auto": one 4 MB probe picks bulk on a healthy tunnel
+        # (interleaved transfers crawl during compute, BASELINE r3) or
+        # per-chunk double-buffered overlap on a slow link (+13% measured
+        # at 32-52 MB/s idle, BASELINE r5)
         return parallel.deblend_device_stream(
             het_images, het_var, het_psfs, het_centers, model_psf,
             center_active=het_active, box_size=59, n_slots=HET_SLOTS,
             max_iter=MAX_ITER, check_every=25, chunk=128, compact=50,
-            retry_overflow=True)
+            retry_overflow=True, upload="auto")
 
     run_het()
     _stamp(t00, "heterogeneous warmup done")

@@ -693,7 +693,7 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  wavelet_scales=5, bulge_scales=2, use_psf=True,
                  max_peaks=None, detect_scales=3, box_grow=None,
                  mono_tol=None, mono_tol_early=0.0, mono_tol_switch=0,
-                 mono_every=1, _stage="full"):
+                 mono_every=1, morph_step=None, _stage="full"):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -830,6 +830,10 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         # one 4-pass block via a huge traced tol); MEASURED NEGATIVE —
         # the fit zigzags and converges far slower (BASELINE r4); keep 1
         mono_every=int(mono_every),
+        # morphology step size (engine default 1e-2); exposed for the
+        # wavelet-recipe convergence A/B (tools/wavelet_step_ab.py) —
+        # the diffuse starlet-initialized models are the slow convergers
+        morph_step=1e-2 if morph_step is None else float(morph_step),
         use_pallas=platform != "cpu",
         use_pallas_scene=platform != "cpu",
         conv_mode="dft" if platform != "cpu" else "fft",
