@@ -213,6 +213,11 @@ class Blend(CombinedComponent):
         segment = max(1, min(int(segment), 10))
 
         it = len(self.loss)
+        # data/weights are fit-invariant without noise re-draws: upload
+        # once, not once per resize restart (each jnp.asarray of the same
+        # host array is a fresh transfer)
+        fixed_weights = (self._data_weights(0) if noise_factor == 0
+                         else None)
         while it < max_iter:
             X, free = self._collect_parameters()
             _, seg_fn = self._make_step_fn(X, free, scheme, b1, b2, eps,
@@ -229,7 +234,8 @@ class Blend(CombinedComponent):
                 for k in free
             ]
 
-            data_weights = self._data_weights(noise_factor)
+            data_weights = (fixed_weights if fixed_weights is not None
+                            else self._data_weights(noise_factor))
 
             try:
                 while it < max_iter:
