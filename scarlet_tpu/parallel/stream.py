@@ -693,7 +693,8 @@ def stream_setup(images, variance, psfs, centers, model_psf,
                  wavelet_scales=5, bulge_scales=2, use_psf=True,
                  max_peaks=None, detect_scales=3, box_grow=None,
                  mono_tol=None, mono_tol_early=0.0, mono_tol_switch=0,
-                 mono_every=1, morph_step=None, _stage="full"):
+                 mono_every=1, morph_step=None, min_gradient=0.0,
+                 _stage="full"):
     """Batched device-side initialization of a stream of blends.
 
     Parameters
@@ -834,6 +835,12 @@ def stream_setup(images, variance, psfs, centers, model_psf,
         # wavelet-recipe convergence A/B (tools/wavelet_step_ab.py) —
         # the diffuse starlet-initialized models are the slow convergers
         morph_step=1e-2 if morph_step is None else float(morph_step),
+        # fit-time monotonicity decline (ref ExtendedSource min_grad,
+        # source.py: steeper-than-flat radial profiles); the INIT
+        # projection stays min_gradient=0 like the reference's init.
+        # Candidate knob for the crowded-field rms size bias
+        # (tools/size_bias_mingrad_ab.py)
+        min_gradient=float(min_gradient),
         use_pallas=platform != "cpu",
         use_pallas_scene=platform != "cpu",
         conv_mode="dft" if platform != "cpu" else "fft",
