@@ -50,6 +50,11 @@ def main():
     if "chain" in sys.argv[3:]:
         import dataclasses
         config = dataclasses.replace(config, packed_prox_chain=True)
+    if "tol" in sys.argv[3:]:
+        # production accelerator default (mono_tol=1e-3): where does the
+        # iteration go once the mono kernel exits early?
+        import dataclasses
+        config = dataclasses.replace(config, mono_tol=1e-3)
 
     def run():
         out, losses = parallel.fit_batch_device_converged(
