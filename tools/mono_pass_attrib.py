@@ -140,25 +140,39 @@ def main():
             else:
                 raise ValueError(mix)
 
-            def cond(c):
-                t, _, changed = c
-                return changed & (t < n_iter)
+            if mix == "noreduce":
+                # counter-only loop: no convergence reduce, no flag in the
+                # carry (a Python-constant bool in the carry trips Mosaic's
+                # scf.while verifier — and semantically this variant is
+                # exactly "the pass without the exit machinery")
+                def cond(c):
+                    t, _ = c
+                    return t < n_iter
 
-            def body(c):
-                t, x, _ = c
-                for _ in range(unroll - 1):
-                    x = step(x)
-                new = step(x)
-                if mix == "noreduce":
-                    changed = True
-                else:
+                def body(c):
+                    t, x = c
+                    for _ in range(unroll):
+                        x = step(x)
+                    return t + unroll, x
+
+                _, out = jax.lax.while_loop(cond, body, (0, x0))
+            else:
+                def cond(c):
+                    t, _, changed = c
+                    return changed & (t < n_iter)
+
+                def body(c):
+                    t, x, _ = c
+                    for _ in range(unroll - 1):
+                        x = step(x)
+                    new = step(x)
                     # forced: max|delta| > -1 is always true (mirrors the
                     # dynamic-tol never-exit calibration in roofline_mono)
                     changed = jnp.max(jnp.abs(new - x)
                                       .astype(jnp.float32)) > -1.0
-                return t + unroll, new, changed
+                    return t + unroll, new, changed
 
-            _, out, _ = jax.lax.while_loop(cond, body, (0, x0, True))
+                _, out, _ = jax.lax.while_loop(cond, body, (0, x0, True))
             out_ref[0] = out.astype(out_ref.dtype)
 
         return kernel
