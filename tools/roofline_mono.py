@@ -38,6 +38,12 @@ def main():
 
     import jax
 
+    # persistent compile cache: variant kernels recompile across
+    # reruns otherwise (tunnel compiles dominate tool wall time)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/scarlet_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
