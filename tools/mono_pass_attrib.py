@@ -16,8 +16,12 @@ like roofline_mono.py) and fits a per-pass slope for each:
   rollsonly  4 rolls + 3 adds + 1 mul, no stencil   -> roll cost direct
   alu8       8 chained multiply-adds (16 arith ops, FMA-pairable)
              -> the achievable ALU rate for exactly FMA-shaped code
-  bf16       the production pass computed in bfloat16 (x, w in bf16)
-             -> does halving element width double VPU throughput here?
+  bf16       the ROLL-FREE stencil computed in bfloat16 (x, w in bf16)
+             -> does halving element width double VPU throughput? compare
+             against norolls.  (Roll-free because Mosaic cannot rotate
+             non-32-bit data — "not implemented: Rotate with non-32-bit
+             data", measured 2026-08-20 — which by itself rules out a
+             bf16 production mono kernel.)
 
 Each variant's slope divides into the op accounting to give "us per
 vector-op over the padded (64, 640) tile" — if rolls cost multiples of an
@@ -142,7 +146,7 @@ def main():
             elif mix == "bf16":
                 x0 = x0.astype(jnp.bfloat16)
                 w = w.astype(jnp.bfloat16)
-                step = step_full
+                step = functools.partial(step_full, rolls=False)
             else:
                 raise ValueError(mix)
 
@@ -206,9 +210,15 @@ def main():
     for mix in variants:
         med = []
         for n in counts:
-            f = build(mix, n)
-            out = f(packed)
-            jax.block_until_ready(out)
+            try:
+                f = build(mix, n)
+                out = f(packed)
+                jax.block_until_ready(out)
+            except Exception as e:  # a variant Mosaic rejects is a FINDING
+                report[mix] = {"error": str(e).split("\n")[0][:200]}
+                print(f"{mix:10s} FAILED: {report[mix]['error']}",
+                      file=sys.stderr)
+                break
             ts = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
@@ -217,6 +227,8 @@ def main():
             med.append(float(np.median(ts)))
             print(f"{mix:10s} passes={n:3d}  median {med[-1]*1e3:8.3f} ms",
                   file=sys.stderr)
+        if len(med) < len(counts):  # variant failed to compile
+            continue
         xs = np.array(counts, float)
         ys = np.array(med)
         A = np.vstack([xs, np.ones_like(xs)]).T
@@ -244,11 +256,12 @@ def main():
 
     # derived attribution (per pass per call, us)
     d = {}
-    if {"full", "norolls"} <= report.keys():
+    ok = {k for k, v in report.items() if "tau_us_per_pass_per_call" in v}
+    if {"full", "norolls"} <= ok:
         d["rolls_by_delta"] = round(
             report["full"]["tau_us_per_pass_per_call"]
             - report["norolls"]["tau_us_per_pass_per_call"], 4)
-    if {"full", "noreduce"} <= report.keys():
+    if {"full", "noreduce"} <= ok:
         d["reduce_carry"] = round(
             report["full"]["tau_us_per_pass_per_call"]
             - report["noreduce"]["tau_us_per_pass_per_call"], 4)
