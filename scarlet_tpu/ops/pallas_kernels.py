@@ -27,6 +27,16 @@ __all__ = ["batched_monotonic_prox", "monotonic_prox_packed",
            "scene_assembly", "grad_gather"]
 
 
+# Jacobi passes per convergence reduce in the mono while-loops.  4 is
+# the shipped default and the measured production optimum:
+# tools/mono_pass_attrib.py put UNROLL=8 at -3.9% per-pass cost (fewer
+# reduce+carry syncs), but the exit quantizes to UNROLL passes, so the
+# production A/B (tools/mono_unroll_ab.py) came back 0.972x at
+# identical losses — BASELINE r5.  Kept as a module constant so future
+# hardware can re-A/B with one flip.
+MONO_UNROLL = 4
+
+
 def _mono_kernel(idx_ref, *refs, n_iter, scale, group, Wb, tol=0.0,
                  dynamic_tol=False):
     """One grid step processes ``group`` morphologies packed side by side
@@ -105,7 +115,7 @@ def _mono_kernel(idx_ref, *refs, n_iter, scale, group, Wb, tol=0.0,
     # (morphologies are max-normalized each iteration, so tol is relative
     # to a unit peak).  NOT exact reference semantics — opt-in via
     # LiteFitConfig.mono_tol, A/B'd in BASELINE before any use.
-    UNROLL = 4
+    UNROLL = MONO_UNROLL
 
     def cond(carry):
         t, _, changed = carry
@@ -302,7 +312,7 @@ def _mono_chain_kernel(idx_ref, xorig_ref, x_ref, wtab_ref, keep_ref,
         new = jnp.minimum(x0, ref)
         return jnp.where(keep_b, x0, new)
 
-    UNROLL = 4
+    UNROLL = MONO_UNROLL
 
     def cond(carry):
         t, _, changed = carry
@@ -475,7 +485,7 @@ def _fused_morph_kernel(x_ref, g_ref, m_ref, v_ref, vh_ref, bm_ref, thr_ref,
         new = jnp.minimum(x1, ref)
         return jnp.where(keep_b, x1, new)
 
-    UNROLL = 4
+    UNROLL = MONO_UNROLL
 
     def cond(carry):
         t, _, changed = carry
