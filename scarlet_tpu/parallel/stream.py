@@ -58,12 +58,22 @@ logger = logging.getLogger("scarlet_tpu.parallel.stream")
 
 def _upload_bandwidth_mbs(nbytes=4 << 20):
     """Idle host->device bandwidth (MB/s) from one probe transfer (the
-    second of two: the first pays any one-time stream setup).  Used by
-    ``deblend_device_stream(upload="auto")`` — a tunneled TPU's link
-    varies ~40x between sessions (BASELINE r3/r4), so the upload
-    strategy is worth one 4 MB measurement."""
+    second of two full-size puts: the first pays the link's one-time
+    bulk-path ramp).  Used by ``deblend_device_stream(upload="auto")``
+    — a tunneled TPU's link varies ~40x between sessions (BASELINE
+    r3/r4), so the upload strategy is worth one 4 MB measurement.
+
+    The warmup transfer must be FULL SIZE: the tunnel's bulk path only
+    ramps after a >~1 MB transfer, and a small warmup (64 KB) leaves the
+    timed put reading the ~50 ms ramp cost instead of the steady rate —
+    measured ~80 MB/s apparent on a 1.4 GB/s link, which pinned "auto"
+    below any sensible bulk threshold (BASELINE r5 transfer-path
+    mechanism study).  Note the probed rate is per-process state, not
+    pure link weather: in degraded-download windows, one device fetch
+    drops the process's subsequent uploads ~20x (same study), which this
+    probe correctly reflects at the next stream call."""
     buf = np.zeros(nbytes, np.uint8)
-    jax.device_put(buf[: 1 << 16]).block_until_ready()
+    jax.device_put(buf).block_until_ready()
     t0 = time.perf_counter()
     jax.device_put(buf).block_until_ready()
     return nbytes / max(time.perf_counter() - t0, 1e-9) / 1e6
