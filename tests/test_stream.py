@@ -813,3 +813,24 @@ class TestUploadModes:
                 np.zeros((2, 1, 2), np.int32),
                 np.ones((1, 5, 5), np.float32) / 25.0,
                 box_size=15, n_slots=1, upload="stream")
+
+    def test_bandwidth_probe_warms_full_size(self, monkeypatch):
+        """The auto-probe's warmup transfer must be the SAME size as the
+        timed one: the tunnel's bulk path only ramps after a >~1 MB
+        transfer, and a small warmup leaves the timed put reading the
+        ~50 ms one-time ramp (~80 MB/s apparent on a GB/s link), which
+        pinned upload="auto" below any bulk threshold (BASELINE r5
+        transfer-path mechanism study)."""
+        from scarlet_tpu.parallel import stream as stream_mod
+
+        sizes = []
+        real_put = jax.device_put
+
+        def spy_put(x, *a, **k):
+            sizes.append(np.asarray(x).nbytes)
+            return real_put(x, *a, **k)
+
+        monkeypatch.setattr(stream_mod.jax, "device_put", spy_put)
+        bw = stream_mod._upload_bandwidth_mbs()
+        assert bw > 0
+        assert len(sizes) == 2 and sizes[0] == sizes[1]
