@@ -11,6 +11,15 @@ degraded-window numbers come from re-running this tool when the tunnel is
 actually slow (CLAUDE.md documents the 40x variance; the bandwidth figure
 labels each run).
 
+CAVEAT (BASELINE r5 transfer-path mechanism study): the warmup runs
+fetch records, and in degraded-download windows one device fetch drops
+the process's subsequent uploads ~20x for its lifetime — so this tool
+times both arms download-POISONED regardless of upload weather.  That
+is the right regime for long-lived multi-stream processes; for the
+production batch-job shape (one process, one stream, upload precedes
+the first fetch) use tools/upload_first_call_ab.py, which times fresh
+subprocesses.
+
 Usage: python tools/upload_mode_ab.py [--reps 3] [--n 256]
 """
 import argparse
