@@ -158,7 +158,9 @@ class LiteFitConfig:
     # DFT on the MXU — ~1.5x faster on TPU at the fit's small centered
     # shapes, exact to f32 roundoff; see ops/fft.dft_conv_matrices)
     conv_precision: str = "float32"  # matmul precision of the DFT conv
-    # ("float32" = 3-pass bf16, f32-exact; "default" = 1-pass bf16)
+    # ("float32" = XLA HIGHEST, f32-equivalent — the bitwise-parity
+    # anchor; "high" = 3-pass bf16, +1.9% at ~2e-5 relative logL drift;
+    # "default" = 1-pass bf16, +4.2% but degraded — BASELINE r5 A/B)
     pallas_interpret: bool = False
     scene_pad: int = -1           # -1: one full (largest) box — always safe
     # band-axis model parallelism (shard_map): inside a shard_map over a

@@ -110,7 +110,8 @@ class Renderer(Model):
             return model[self.channel_map]
         if isinstance(self.channel_map, list):
             return model[jnp.asarray(self.channel_map)]
-        return jnp.dot(jnp.asarray(self.channel_map), model)
+        return jnp.dot(jnp.asarray(self.channel_map), model,
+                       precision="float32")
 
 
 class NullRenderer(Renderer):

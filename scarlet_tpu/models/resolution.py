@@ -164,9 +164,13 @@ class ResolutionRenderer(Renderer):
             if not self.isrot:
                 conv = fft_ops.convolve_fft(
                     model_, self._kernel_rfft, self._fft_shape, (-2, -1))
+                # precision pinned: on TPU the DEFAULT tier is 1-pass
+                # bf16, a measured quality negative on the engine's conv
+                # matmuls (BASELINE r3) — and the CPU suite (exact f32)
+                # cannot catch on-chip drift in these sinc resamplings
                 out = jnp.einsum(
                     "iy,cyx,jx->cij", self._P_y, conv, self._P_x,
-                    preferred_element_type=dtype)
+                    preferred_element_type=dtype, precision="float32")
                 return (out * self.h ** 2).astype(dtype)
 
             # rotated: shift the model by -o_j, contract with kernel stack
@@ -186,7 +190,8 @@ class ResolutionRenderer(Renderer):
             # built against the same grid with matching center c0
             B = B.reshape(self._Nx_lr, model_.shape[0], -1)
             out = jnp.einsum("icv,jcv->cij", self._A, B,
-                             preferred_element_type=dtype)
+                             preferred_element_type=dtype,
+                             precision="float32")
             return (out * self.h ** 2).astype(dtype)
 
         return transform

@@ -374,11 +374,14 @@ def convolve_dft(image, kernel_rfft, matrices, precision="float32"):
     :func:`dft_conv_matrices`).  Semantically identical to
     :func:`convolve_fft` with ``real_shape == image.shape``; leading batch
     axes broadcast.  Runs the spectral contractions on the MXU at
-    ``precision="float32"`` (3-pass bf16 — f32-exact to roundoff) by
-    default; ``precision="default"`` selects 1-pass bf16: measured +4.4%
-    fit throughput but a genuinely degraded solution (final logL -8857
-    vs -8619 on the flagship fit — BASELINE r3), so it is opt-in via
-    ``LiteFitConfig.conv_precision`` and never the default."""
+    ``precision="float32"`` (XLA HIGHEST — f32-equivalent, the tier the
+    on-chip bitwise logL parity rests on) by default.  Measured tiers on
+    the v5e steady fit (BASELINE r5 conv-precision A/B):
+    ``"high"`` (3-pass bf16) +1.9% throughput at max per-blend |logL|
+    drift 0.20 (~2e-5 relative); ``"default"`` (1-pass bf16) +4.2% but a
+    genuinely degraded solution (drift 238; logL -8857 vs -8619 in the
+    r3 capture).  Both are opt-in via ``LiteFitConfig.conv_precision``
+    and never the default."""
     import jax
 
     A, B, iA, iB = (jax.lax.complex(jnp.asarray(m[0]), jnp.asarray(m[1]))

@@ -264,9 +264,12 @@ def sinc_interp(images, coord_hr, coord_lr, angle=None, padding=3):
         kx = jnp.sinc((jnp.asarray(x_lr)[:, None] - jnp.asarray(x_hr)[None, :]) / hx)
         images = jnp.asarray(images)
         # (Nyhr, Nylr) @ (Nylr, Nxlr) @ (Nxlr, Nxhr) per band
+        # precision pinned to the f32-equivalent tier: TPU DEFAULT is
+        # 1-pass bf16 and sinc resampling is accuracy-critical (the CPU
+        # suite runs exact f32 and cannot catch on-chip drift here)
         return jnp.einsum(
             "ij,bjk,kl->bil", ky, jnp.swapaxes(images, -2, -1), kx,
-            preferred_element_type=images.dtype,
+            preferred_element_type=images.dtype, precision="float32",
         )
 
     cos, sin = angle
@@ -410,7 +413,8 @@ def get_psf_size(psf):
 
 def sinc2D(y, x):
     """2D sinc from the product of 1D sincs. Ref: interpolation.py:641-654."""
-    return jnp.dot(jnp.sinc(jnp.asarray(y)), jnp.sinc(jnp.asarray(x)))
+    return jnp.dot(jnp.sinc(jnp.asarray(y)), jnp.sinc(jnp.asarray(x)),
+                   precision="float32")
 
 
 def interpolate_observation(observation, frame, wave_filter=False):

@@ -888,9 +888,14 @@ def _stream_records_device(state, aux):
     iy = jnp.arange(morphs.shape[-2], dtype=morphs.dtype)
     ix = jnp.arange(morphs.shape[-1], dtype=morphs.dtype)
     denom = jnp.where(msum != 0, msum, 1.0)
-    cy = jnp.einsum("bkyx,y->bk", morphs, iy) / denom \
+    # measurement contractions pinned to the f32-equivalent matmul tier:
+    # astrometry/shape records must not pick up 1-pass-bf16 drift when
+    # XLA routes these through the MXU (TPU DEFAULT tier; the CPU suite
+    # runs exact f32 and cannot catch it)
+    ein = lambda s, *ops: jnp.einsum(s, *ops, precision="float32")  # noqa
+    cy = ein("bkyx,y->bk", morphs, iy) / denom \
         + origins[..., 0].astype(morphs.dtype)
-    cx = jnp.einsum("bkyx,x->bk", morphs, ix) / denom \
+    cx = ein("bkyx,x->bk", morphs, ix) / denom \
         + origins[..., 1].astype(morphs.dtype)
     wslot = jnp.sum(flux, axis=-1)           # (B, n_slots) total slot flux
     wsum = vseg(wslot[..., None], src)[..., 0]            # (B, K)
@@ -915,11 +920,11 @@ def _stream_records_device(state, aux):
                        0.0)                  # (B, n_slots) channel-sum sed
     oy = origins[..., 0].astype(morphs.dtype)
     ox = origins[..., 1].astype(morphs.dtype)
-    m1y = jnp.einsum("bkyx,y->bk", morphs, iy)
-    m1x = jnp.einsum("bkyx,x->bk", morphs, ix)
-    m2y = jnp.einsum("bkyx,y->bk", morphs, iy * iy)
-    m2x = jnp.einsum("bkyx,x->bk", morphs, ix * ix)
-    mxy = jnp.einsum("bkyx,y,x->bk", morphs, iy, ix)
+    m1y = ein("bkyx,y->bk", morphs, iy)
+    m1x = ein("bkyx,x->bk", morphs, ix)
+    m2y = ein("bkyx,y->bk", morphs, iy * iy)
+    m2x = ein("bkyx,x->bk", morphs, ix * ix)
+    mxy = ein("bkyx,y,x->bk", morphs, iy, ix)
     # centralize each slot about its SOURCE's (already computed)
     # centroid before squaring: |origin - centroid| is O(box), not
     # O(scene), so the f32 raw-minus-center^2 cancellation never sees
