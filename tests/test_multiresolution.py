@@ -277,3 +277,56 @@ class TestRealHSCHST:
         logLs = blend.log_likelihood
         assert np.all(np.isfinite(logLs))
         assert logLs[-1] > logLs[0]
+
+
+class TestPrecisionPins:
+    """The resampling contractions must carry the f32-equivalent matmul
+    tier: XLA DEFAULT is 1-pass bf16 on TPU, measured to cost 11 dB of
+    on-chip render fidelity (BASELINE r5, tools/multires_precision_probe
+    .py) — and the CPU suite computes every tier in exact f32, so only
+    this jaxpr-level check can catch a dropped pin off-chip."""
+
+    @staticmethod
+    def _dot_precisions(fn, *args):
+        import jax
+
+        out = []
+
+        def walk(jx):
+            for e in jx.eqns:
+                if e.primitive.name == "dot_general":
+                    out.append(e.params.get("precision"))
+                for v in e.params.values():
+                    if hasattr(v, "jaxpr"):
+                        walk(v.jaxpr)
+
+        walk(jax.make_jaxpr(fn)(*args).jaxpr)
+        return out
+
+    @pytest.mark.parametrize("rotation", [0.0, np.deg2rad(28)])
+    def test_renderer_contractions_pinned(self, rotation):
+        import jax.numpy as jnp
+        from jax.lax import Precision
+
+        obs_hr, obs_lr, data_hr, data_lr = make_pair(rotation_lr=rotation)
+        st.Frame.from_observations([obs_lr, obs_hr], obs_id=1,
+                                   coverage="union")
+        model = jnp.asarray(embed_centered(data_hr[None],
+                                           obs_hr.model_frame))
+        precs = self._dot_precisions(obs_lr.renderer, model)
+        assert precs, "renderer lowered no dot_general?"
+        assert all(p == (Precision.HIGHEST, Precision.HIGHEST)
+                   for p in precs), precs
+
+    def test_sinc_interp_pinned(self):
+        import jax.numpy as jnp
+        from jax.lax import Precision
+        from scarlet_tpu.ops.interpolation import sinc_interp
+
+        images = jnp.ones((1, 8, 8), jnp.float32)
+        hr = (np.linspace(0, 7, 16), np.linspace(0, 7, 16))
+        lr = (np.arange(8.0), np.arange(8.0))
+        precs = self._dot_precisions(
+            lambda im: sinc_interp(im, hr, lr, angle=None), images)
+        assert precs and all(
+            p == (Precision.HIGHEST, Precision.HIGHEST) for p in precs)
